@@ -1,0 +1,32 @@
+"""Test configuration.
+
+JAX tests run on a simulated 8-device CPU mesh
+(``--xla_force_host_platform_device_count=8``) so distributed shardings are
+exercised without TPU pod hardware (SURVEY.md §4).  The env vars must be set
+before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_FIXTURES = "/root/reference/constraint-system"
+
+
+@pytest.fixture(scope="session")
+def r1cs_instance():
+    from kzg_snark_tpu.utils.fixtures import load_r1cs
+    return load_r1cs(f"{REFERENCE_FIXTURES}/R1CS_INSTANCE.pkl")
+
+
+@pytest.fixture(scope="session")
+def plonk_instance():
+    from kzg_snark_tpu.utils.fixtures import load_plonk
+    return load_plonk(f"{REFERENCE_FIXTURES}/PLONK_ARITHMETIZATION_INSTANCE.pkl")
