@@ -28,10 +28,17 @@ from ..ops.host.tower import tower_fields
 
 class KZG:
     def __init__(self, curve_type: str = "bn254", backend: str = "host",
-                 rng: Rng | None = None):
+                 rng: Rng | None = None,
+                 normalize_commitments: bool | None = None):
         self.curve_type = curve_type
         self.backend = backend
         self.rng = rng if rng is not None else DEFAULT_RNG
+        # Fast mode serializes commitments canonically as (x, y, 1); compat
+        # (host) mode keeps raw projective representatives for py_ecc
+        # transcript parity.  The tpu backend always normalizes.
+        if normalize_commitments is None:
+            normalize_commitments = (backend == "tpu")
+        self.normalize_commitments = normalize_commitments
 
         # Field setup (reference kzg.py:52-54).
         self.Fq = scalar_field(curve_type)      # reference names GF(r) "Fq"
@@ -71,6 +78,26 @@ class KZG:
     def pairing(self, q, p):
         """py_ecc argument order: pairing(G2 point, G1 point)."""
         return self._pairing_ctx.pairing(q, p)
+
+    def _pairing_eq(self, q1, p1, q2, p2) -> bool:
+        """e(q1, p1) == e(q2, p2), using the native C++ library when
+        available (bn254 only) with the pure-Python tower as fallback."""
+        if self.curve_type == "bn254":
+            from ..utils import native
+            if native.available():
+                def aff1(pt):
+                    a = pc.normalize(pt)
+                    return None if a is None else (int(a[0]), int(a[1]))
+
+                def aff2(pt):
+                    a = pc.normalize(pt)
+                    if a is None:
+                        return None
+                    return ((a[0].c0, a[0].c1), (a[1].c0, a[1].c1))
+
+                return native.pairing_eq(aff2(q1), aff1(p1),
+                                         aff2(q2), aff1(p2))
+        return self.pairing(q1, p1) == self.pairing(q2, p2)
 
     # ------------------------------------------------------------------
     def setup(self, max_degree: int, tau: int | None = None):
@@ -121,8 +148,17 @@ class KZG:
                     continue
                 term = self.multiply(ck[i], int(coeff))
                 commitment = self.add(commitment, term)
+            if self.normalize_commitments:
+                commitment = self._normalize_point(commitment)
             commitments.append(commitment)
         return commitments
+
+    def _normalize_point(self, pt):
+        aff = pc.normalize(pt)
+        if aff is None:
+            return self.Z1
+        Fp = type(self.G1[0])
+        return (Fp(int(aff[0])), Fp(int(aff[1])), Fp(1))
 
     def _tpu_commit(self, ck, poly: Poly):
         from ..ops import msm as msm_mod
@@ -164,9 +200,7 @@ class KZG:
         z_G2 = self.multiply(self.G2, int(z))
         tauG2_minus_z = self.add(tau_G2, self.neg(z_G2))
 
-        left = self.pairing(self.G2, C_minus_v)
-        right = self.pairing(tauG2_minus_z, proof)
-        return left == right
+        return self._pairing_eq(self.G2, C_minus_v, tauG2_minus_z, proof)
 
     # ------------------------------------------------------------------
     def batch_check(self, rk, commitments_list, z_list, evaluations_list,
@@ -204,6 +238,4 @@ class KZG:
             left_acc = self.add(left_acc, self.multiply(term_left, r_power))
             right_acc = self.add(right_acc, self.multiply(proof, r_power))
 
-        left = self.pairing(self.G2, left_acc)
-        right = self.pairing(tau_G2, right_acc)
-        return left == right
+        return self._pairing_eq(self.G2, left_acc, tau_G2, right_acc)

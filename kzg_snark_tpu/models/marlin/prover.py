@@ -28,11 +28,22 @@ from .encoder import Encoder
 class Prover:
     def __init__(self, curve_type: str = "bn254", backend: str = "host",
                  rng: Rng | None = None):
+        self.backend = backend
         self.kzg = KZG(curve_type=curve_type, backend=backend, rng=rng)
         self.rng = self.kzg.rng
 
     # ------------------------------------------------------------------
     def prove(self, ipk, x, w, zero_knowledge_bound: int = 2):
+        if self.backend == "tpu":
+            # Full device pipeline (NTT/MSM/segment-sum on TPU) — same
+            # protocol, transcript, and RNG draw order; see
+            # models/marlin/device.py.
+            from .device import DeviceProver
+            dp = DeviceProver(curve_type=self.kzg.curve_type, rng=self.rng)
+            return dp.prove(ipk, x, w, zero_knowledge_bound)
+        return self._prove_host(ipk, x, w, zero_knowledge_bound)
+
+    def _prove_host(self, ipk, x, w, zero_knowledge_bound: int = 2):
         ck = ipk["ck"]
         A, B, C = ipk["A"], ipk["B"], ipk["C"]
         polynomials = ipk["polynomials"]

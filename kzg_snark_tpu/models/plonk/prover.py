@@ -26,11 +26,21 @@ from .encoder import Encoder
 class Prover:
     def __init__(self, curve_type: str = "bn254", backend: str = "host",
                  rng: Rng | None = None):
+        self.backend = backend
         self.kzg = KZG(curve_type=curve_type, backend=backend, rng=rng)
         self.rng = self.kzg.rng
 
     # ------------------------------------------------------------------
     def prove(self, ipk, x, w):
+        if self.backend == "tpu":
+            # Full device pipeline (NTT/MSM/scan on TPU) — same protocol,
+            # transcript, and RNG draw order; see models/plonk/device.py.
+            from .device import DeviceProver
+            dp = DeviceProver(curve_type=self.kzg.curve_type, rng=self.rng)
+            return dp.prove(ipk, x, w)
+        return self._prove_host(ipk, x, w)
+
+    def _prove_host(self, ipk, x, w):
         ck = ipk["ck"]
         polynomials = ipk["polynomials"]
         H = ipk["subgroups"]["H"]

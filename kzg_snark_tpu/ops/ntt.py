@@ -1,0 +1,138 @@
+"""Radix-2 NTT / iNTT over prime fields on TPU.
+
+L1 of the TPU-native stack (SURVEY.md §7 layer 2): replaces the reference's
+recursive pure-Python FFT (``/root/reference/fft_ff.py:3-85``) with staged
+vectorized butterflies over Montgomery limb arrays.  Natural-order input and
+output; because field arithmetic is exact, results are bit-identical to the
+reference's recursion (tested against ``ops.host.fft`` in
+``tests/test_ntt.py``).
+
+Arrays follow the limb-major layout of ``ops.fr``: a polynomial of n
+coefficients is a uint32 array of shape (L, n).  A butterfly stage is one
+batched Montgomery multiply + add/sub over (L, blocks, span) views — the
+whole transform is (n/2) log2(n) modular multiplies of full vector width.
+
+* One :class:`NttContext` per (field, n): twiddle tables are built on device
+  by log2(n) doubling concatenations and cached.
+* The domain generator is the deterministic g^((r-1)/n) of
+  ``ops.host.field.FieldElement.nth_root_of_unity`` — identical on host and
+  device, so host Poly pipelines and device pipelines interoperate.
+* For the multi-chip four-step decomposition see ``parallel/ntt_dist.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .fr import FieldBackend
+
+
+def _bit_reverse_indices(n: int) -> jnp.ndarray:
+    bits = n.bit_length() - 1
+    rev = [int(format(i, f"0{bits}b")[::-1], 2) if bits else 0
+           for i in range(n)]
+    return jnp.array(rev, dtype=jnp.int32)
+
+
+class NttContext:
+    """Twiddle tables and butterfly plan for one (modulus, n, root)."""
+
+    _CACHE: dict = {}
+
+    def __new__(cls, backend: FieldBackend, n: int, root: int):
+        key = (backend.modulus, n, root)
+        if key in cls._CACHE:
+            return cls._CACHE[key]
+        self = super().__new__(cls)
+        self._init(backend, n, root)
+        cls._CACHE[key] = self
+        return self
+
+    def _init(self, backend: FieldBackend, n: int, root: int) -> None:
+        assert n & (n - 1) == 0, "NTT size must be a power of 2"
+        assert pow(root, n, backend.modulus) == 1
+        if n > 1:
+            assert pow(root, n // 2, backend.modulus) != 1, \
+                "root must have order exactly n"
+        self.backend = backend
+        self.n = n
+        self.root = root
+        p = backend.modulus
+
+        self.bitrev = _bit_reverse_indices(n)
+        self.tw_fwd = self._build_powers(root, max(n // 2, 1))
+        self.tw_inv = self._build_powers(pow(root, -1, p) if n > 1 else 1,
+                                         max(n // 2, 1))
+        self.n_inv = backend.scalar(pow(n, -1, p))
+
+    def _build_powers(self, w: int, count: int) -> jax.Array:
+        """[w^0 .. w^(count-1)] (L, count) Montgomery, by doubling concat."""
+        be = self.backend
+        table = be.one_mont  # (L, 1)
+        length = 1
+        while length < count:
+            w_pow = be.scalar(pow(w, length, be.modulus))
+            table = jnp.concatenate([table, be.mul(table, w_pow)], axis=1)
+            length *= 2
+        return table[:, :count]
+
+    # ------------------------------------------------------------------
+    def _transform(self, values: jax.Array, table: jax.Array) -> jax.Array:
+        """DIT butterflies after bit-reversal, along the LAST axis; values
+        (L, ..., n) -> (L, ..., n) (middle axes are batch dims — used by the
+        four-step distributed NTT for row/column transforms)."""
+        be = self.backend
+        n = self.n
+        if n == 1:
+            return values
+        lead = values.shape[:-1]
+        x = values[..., self.bitrev]
+        span = 1
+        while span < n:
+            stride = n // (2 * span)
+            tw = table[:, 0:span * stride:stride]       # (L, span)
+            tw = tw.reshape((tw.shape[0],) + (1,) * len(lead[1:]) + (1, span))
+            x = x.reshape(lead + (n // (2 * span), 2, span))
+            a = x[..., 0, :]
+            b = be.mul(x[..., 1, :], tw)
+            x = jnp.stack([be.add(a, b), be.sub(a, b)], axis=-2)
+            span *= 2
+        return x.reshape(lead + (n,))
+
+    def ntt(self, coeffs: jax.Array) -> jax.Array:
+        """Evaluate: out[:, i] = p(w^i).  coeffs (L, n) Montgomery form."""
+        return self._transform(coeffs, self.tw_fwd)
+
+    def intt(self, evals: jax.Array) -> jax.Array:
+        """Interpolate: inverse transform scaled by n^-1."""
+        out = self._transform(evals, self.tw_inv)
+        return self.backend.mul(out, self.n_inv)
+
+    # ------------------------------------------------------------------
+    def powers(self, c: int) -> jax.Array:
+        """[1, c, ..., c^(n-1)] (L, n) Montgomery (coset shifts, xi/r
+        power combinations)."""
+        return self._build_powers(c % self.backend.modulus, self.n)
+
+    def coset_ntt(self, coeffs: jax.Array, shift: int) -> jax.Array:
+        """Evaluate on the coset shift*H: NTT of coeffs[i] * shift^i."""
+        return self.ntt(self.backend.mul(coeffs, self.powers(shift)))
+
+    def coset_intt(self, evals: jax.Array, shift: int) -> jax.Array:
+        coeffs = self.intt(evals)
+        inv_shift = pow(shift, -1, self.backend.modulus)
+        return self.backend.mul(coeffs, self.powers(inv_shift))
+
+
+@functools.lru_cache(maxsize=None)
+def ntt_context(curve_type: str, n: int) -> NttContext:
+    """Context over the curve's scalar field with the framework's
+    deterministic domain generator."""
+    from .fr import fr_backend
+    from .host.field import scalar_field
+    be = fr_backend(curve_type)
+    root = int(scalar_field(curve_type).nth_root_of_unity(n)) if n > 1 else 1
+    return NttContext(be, n, root)

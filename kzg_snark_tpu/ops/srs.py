@@ -1,0 +1,167 @@
+"""Structured reference string generation and handling on TPU.
+
+Replaces the reference's sequential powers-of-tau loop
+(``/root/reference/kzg.py:70-75``, O(d) host scalar muls) with a windowed
+fixed-base multi-exponentiation: a (W x 2^c) table of digit multiples of G1
+is built once on device, and every tau^i G1 is then a sum of W table
+lookups — one ``lax.scan`` over windows, fully lane-parallel over the SRS
+index.
+
+Also defines :class:`DeviceSRS`, the device-resident commitment key used by
+the KZG "tpu" backend: SRS points stay in HBM across commits; host code can
+still index it like the reference's ck list where needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fr import LIMB_BITS
+from .g1 import CurveOps
+from .msm import msm_context
+
+
+class DeviceSRS:
+    """Device-resident [G1, tau G1, ..., tau^d G1].
+
+    ``points`` is a (3, L, d+1) Jacobian batch with Z = 1.  Supports
+    ``len()`` (the reference sizes commitments via ``len(ck) - 1``,
+    kzg.py:99) and lazy per-index affine access for host-side consumers.
+    """
+
+    def __init__(self, curve_type: str, points: jax.Array):
+        self.curve_type = curve_type
+        self.points = points
+        self._curve = msm_context(curve_type).curve
+
+    def __len__(self) -> int:
+        return int(self.points.shape[-1])
+
+    def slice_pow2(self, count: int) -> jax.Array:
+        """Device points for the first ``count`` entries, padded up to the
+        next power of two so commit shapes stay cache-friendly."""
+        n = 1
+        while n < count:
+            n *= 2
+        n = min(n, len(self))
+        return self.points[..., :max(n, count)]
+
+    def affine(self, i: int):
+        """Host affine ints of entry i (rarely needed; one-off transfers)."""
+        return self._curve.to_affine_ints(self.points[..., i:i + 1])[0]
+
+    def __getitem__(self, i: int):
+        """Host projective tuple view (x, y, 1) — lets reference-shaped host
+        code (e.g. the compat commit loop) consume a device SRS.  Cached
+        after the first full transfer."""
+        if not hasattr(self, "_host_cache"):
+            from .host.field import base_field
+            Fp = base_field(self.curve_type)
+            affs = self._curve.to_affine_ints(self.points)
+            self._host_cache = [
+                (Fp(a[0]), Fp(a[1]), Fp(1)) if a is not None else
+                (Fp(1), Fp(1), Fp(0))
+                for a in affs]
+        return self._host_cache[i]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _fixed_base_table(curve: CurveOps, base: jax.Array,
+                      window_bits: int, num_windows: int) -> jax.Array:
+    """Build T[j, d] = d * 2^(c j) * base for j < W, d < 2^c.
+
+    base: (3, L, 1).  Returns (3, L, W, 2^c) Jacobian.
+    """
+    f = curve.f
+    L = f.num_limbs
+    B = 1 << window_bits
+
+    # Window bases: 2^(c j) * base by repeated doubling, collected by scan.
+    def dbl_chain(carry, _):
+        out = carry
+
+        def dbl(_, a):
+            return curve.double(a)
+        nxt = jax.lax.fori_loop(0, window_bits, dbl, carry)
+        return nxt, out
+
+    _, bases = jax.lax.scan(dbl_chain, base, None, length=num_windows)
+    bases = jnp.moveaxis(bases, 0, -1)[..., 0, :]      # (3, L, W)
+
+    # Rows: T[:, d] = T[:, d-1] + bases (one scan over d, lanes = W).
+    ident_x = jnp.broadcast_to(f.one_mont, (L, num_windows))
+    ident = jnp.stack([ident_x, ident_x, jnp.zeros_like(ident_x)], axis=0)
+
+    def row_step(carry, _):
+        nxt = curve.add(carry, bases)
+        return nxt, carry
+
+    _, rows = jax.lax.scan(row_step, ident, None, length=B)
+    return jnp.moveaxis(rows, 0, -1)                   # (3, L, W, B)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fixed_base_msm(curve: CurveOps, table: jax.Array,
+                    digits: jax.Array) -> jax.Array:
+    """result[i] = sum_j T[j, digits[j, i]]; digits (W, N) -> (3, L, N)."""
+    f = curve.f
+    L = f.num_limbs
+    n = digits.shape[-1]
+    ident_x = jnp.broadcast_to(f.one_mont, (L, n))
+    acc0 = jnp.stack([ident_x, ident_x, jnp.zeros_like(ident_x)], axis=0)
+
+    def step(acc, inp):
+        t_j, dig_j = inp        # (3, L, B), (N,)
+        picked = t_j[:, :, dig_j]
+        return curve.add(acc, picked), None
+
+    xs = (jnp.moveaxis(table, 2, 0), digits)
+    acc, _ = jax.lax.scan(step, acc0, xs)
+    return acc
+
+
+def setup_g1_powers(kzg, tau: int, max_degree: int,
+                    window_bits: int = 8) -> DeviceSRS:
+    """Generate the device SRS [tau^i G1] for i <= max_degree."""
+    ctx = msm_context(kzg.curve_type)
+    curve = ctx.curve
+    r = kzg.curve_order
+    if tau % r == 0:
+        raise ValueError("tau must be nonzero mod the curve order")
+
+    # tau powers on host (iterative bigint product; one-time cost).
+    n = max_degree + 1
+    powers = [1] * n
+    acc = 1
+    for i in range(1, n):
+        acc = (acc * tau) % r
+        powers[i] = acc
+
+    # Window digits (W, N) over the *scalar* field width.
+    c = window_bits
+    num_windows = -(-r.bit_length() // c)
+    dig = np.zeros((num_windows, n), dtype=np.uint32)
+    mask = (1 << c) - 1
+    for i, s in enumerate(powers):
+        for j in range(num_windows):
+            dig[j, i] = (s >> (c * j)) & mask
+
+    g1 = kzg.G1
+    base = curve.from_affine_ints([int(g1[0])], [int(g1[1])])
+    table = _fixed_base_table(curve, base, c, num_windows)
+    pts = _fixed_base_msm(curve, table, jnp.asarray(dig))
+
+    # Normalize to Z = 1 so commits can assume affine inputs.
+    f = curve.f
+    X, Y, Z = pts[0], pts[1], pts[2]
+    zinv = f.inv(Z)
+    zinv2 = f.mul(zinv, zinv)
+    ax = f.mul(X, zinv2)
+    ay = f.mul(Y, f.mul(zinv2, zinv))
+    ones = jnp.broadcast_to(f.one_mont, ax.shape)
+    normalized = jnp.stack([ax, ay, ones], axis=0)
+    return DeviceSRS(kzg.curve_type, normalized)

@@ -1,0 +1,192 @@
+"""Distributed NTT: four-step (Bailey) decomposition over a device mesh.
+
+Scaling the reference's single-threaded recursive FFT
+(``/root/reference/fft_ff.py``) past one chip's HBM/compute (SURVEY.md §5
+"long-axis scaling"): a length-n transform over D devices becomes
+
+  1. D independent length-(n/D) NTTs           (local, root w^D)
+  2. twiddle by w^(i1 k2)                      (local, precomputed table)
+  3. matrix transpose across devices           (lax.all_to_all over ICI)
+  4. n/D independent length-D NTTs             (local, root w^(n/D))
+
+Data layouts (global arrays, sharded on axis 1 over mesh axis "shard"):
+  * input  — "cyclic" (L, D, n2): slice [:, d, :] holds coefficients
+    c[d::D]; device d owns exactly that slice.
+  * output — "blocked-transposed" (L, D, n2/D, D): slice [:, d, j, k1]
+    holds X[n2*k1 + (d*n2/D + j)] where X is the natural-order NTT.
+
+``dist_intt`` runs the inverse pipeline (inverse roots, reversed steps) so
+``dist_intt(dist_ntt(x)) == x`` in the cyclic layout; host converters
+translate natural order <-> both layouts for interop and tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.fr import FieldBackend, fr_backend
+from ..ops.ntt import NttContext
+from ..ops.host.field import scalar_field
+from .mesh import AXIS
+
+
+class DistNttContext:
+    """Plan for a length-n NTT over D devices (n = D * n2, both powers
+    of 2, D | n2)."""
+
+    _CACHE: dict = {}
+
+    def __new__(cls, curve_type: str, n: int, mesh: Mesh):
+        key = (curve_type, n, id(mesh))
+        if key in cls._CACHE:
+            return cls._CACHE[key]
+        self = super().__new__(cls)
+        self._init(curve_type, n, mesh)
+        cls._CACHE[key] = self
+        return self
+
+    def _init(self, curve_type: str, n: int, mesh: Mesh) -> None:
+        D = mesh.devices.size
+        assert n % D == 0 and (n & (n - 1)) == 0
+        n2 = n // D
+        assert n2 % D == 0, "need D | n/D for the transpose step"
+        self.mesh = mesh
+        self.n, self.D, self.n2 = n, D, n2
+        self.backend = fr_backend(curve_type)
+        be = self.backend
+        p = be.modulus
+
+        Fr = scalar_field(curve_type)
+        w = int(Fr.nth_root_of_unity(n))
+        self.root = w
+        w_inv = pow(w, -1, p)
+
+        # Local transform plans (replicated constants inside shard_map).
+        self.ctx_cols = NttContext(be, n2, pow(w, D, p))       # step 1
+        self.ctx_rows = NttContext(be, D, pow(w, n2, p))       # step 4
+
+        # Twiddle tables w^(i1 k2) (L, D, n2), sharded like the data.
+        self.tw = self._twiddle_table(w)
+        self.tw_inv = self._twiddle_table(w_inv)
+        self.n_inv = be.scalar(pow(n, -1, p))
+
+        spec2 = NamedSharding(mesh, P(None, AXIS, None))
+        self.in_sharding = spec2
+        self.out_sharding = NamedSharding(mesh, P(None, AXIS, None, None))
+        self.tw = jax.device_put(self.tw, spec2)
+        self.tw_inv = jax.device_put(self.tw_inv, spec2)
+
+        self._ntt_fn = self._build(forward=True)
+        self._intt_fn = self._build(forward=False)
+
+    def _twiddle_table(self, w: int) -> jax.Array:
+        """(L, D, n2) with [:, i1, k2] = w^(i1 k2) in Montgomery form:
+        row i1 is the powers table of w^i1."""
+        be = self.backend
+        p = be.modulus
+        rows = []
+        for i1 in range(self.D):
+            base = pow(w, i1, p)
+            # powers of `base` of length n2 by doubling
+            table = be.one_mont
+            length = 1
+            while length < self.n2:
+                b_pow = be.scalar(pow(base, length, p))
+                table = jnp.concatenate([table, be.mul(table, b_pow)], axis=1)
+                length *= 2
+            rows.append(table[:, :self.n2])
+        return jnp.stack(rows, axis=1)
+
+    # ------------------------------------------------------------------
+    def _build(self, forward: bool):
+        be = self.backend
+        D, n2 = self.D, self.n2
+        ctx_cols, ctx_rows = self.ctx_cols, self.ctx_rows
+        col_table = ctx_cols.tw_fwd if forward else ctx_cols.tw_inv
+        row_table = ctx_rows.tw_fwd if forward else ctx_rows.tw_inv
+        tw = self.tw if forward else self.tw_inv
+        L = be.num_limbs
+
+        def fwd_local(x, tw_local):
+            # x: (L, 1, n2) local cyclic slice; tw_local: (L, 1, n2)
+            v = x[:, 0, :]
+            v = ctx_cols._transform(v, col_table)              # step 1
+            v = be.mul(v, tw_local[:, 0, :])                   # step 2
+            v = v.reshape(L, D, n2 // D)                       # dest blocks
+            v = jax.lax.all_to_all(v, AXIS, split_axis=1, concat_axis=1,
+                                   tiled=False)                # step 3
+            # now v[:, e, j] = row i1=e of my k2-block
+            v = jnp.moveaxis(v, 1, -1)                         # (L, n2/D, D)
+            v = ctx_rows._transform(v, row_table)              # step 4
+            return v[:, None]                                  # (L,1,n2/D,D)
+
+        def inv_local(y, tw_local):
+            # y: (L, 1, n2/D, D) blocked-transposed slice
+            v = y[:, 0]
+            v = ctx_rows._transform(v, row_table)              # undo step 4
+            v = be.mul(v, ctx_rows.n_inv)
+            v = jnp.moveaxis(v, -1, 1)                         # (L, D, n2/D)
+            v = jax.lax.all_to_all(v, AXIS, split_axis=1, concat_axis=1,
+                                   tiled=False)                # undo step 3
+            v = v.reshape(L, n2)
+            v = be.mul(v, tw_local[:, 0, :])                   # undo step 2
+            v = ctx_cols._transform(v, col_table)              # undo step 1
+            v = be.mul(v, ctx_cols.n_inv)
+            return v[:, None]                                  # (L, 1, n2)
+
+        if forward:
+            fn = shard_map(fwd_local, mesh=self.mesh,
+                           in_specs=(P(None, AXIS, None), P(None, AXIS, None)),
+                           out_specs=P(None, AXIS, None, None))
+        else:
+            fn = shard_map(inv_local, mesh=self.mesh,
+                           in_specs=(P(None, AXIS, None, None),
+                                     P(None, AXIS, None)),
+                           out_specs=P(None, AXIS, None))
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def ntt(self, x_cyclic: jax.Array) -> jax.Array:
+        """(L, D, n2) cyclic -> (L, D, n2/D, D) blocked-transposed."""
+        return self._ntt_fn(x_cyclic, self.tw)
+
+    def intt(self, y_block: jax.Array) -> jax.Array:
+        """Inverse of :meth:`ntt` (returns the cyclic layout)."""
+        return self._intt_fn(y_block, self.tw_inv)
+
+    # ------------------------------------------------------------------
+    # Host layout converters (tests / interop).
+    # ------------------------------------------------------------------
+    def natural_to_cyclic(self, coeffs_arr: jax.Array) -> jax.Array:
+        """(L, n) natural order -> (L, D, n2) cyclic, device_put sharded."""
+        L = coeffs_arr.shape[0]
+        x = coeffs_arr.reshape(L, self.n2, self.D).transpose(0, 2, 1)
+        return jax.device_put(x, self.in_sharding)
+
+    def blocked_to_natural(self, y: jax.Array) -> jax.Array:
+        """(L, D, n2/D, D) blocked-transposed -> (L, n) natural order
+        (host-side gather; for tests)."""
+        import numpy as np
+        L = y.shape[0]
+        arr = np.asarray(jax.device_get(y))      # [L, d, j, k1]
+        out = np.zeros((L, self.n), dtype=arr.dtype)
+        for d in range(self.D):
+            for j in range(self.n2 // self.D):
+                k2 = d * (self.n2 // self.D) + j
+                for k1 in range(self.D):
+                    out[:, self.n2 * k1 + k2] = arr[:, d, j, k1]
+        return jnp.asarray(out)
+
+    def cyclic_to_natural(self, x: jax.Array) -> jax.Array:
+        import numpy as np
+        L = x.shape[0]
+        arr = np.asarray(jax.device_get(x))
+        out = np.zeros((L, self.n), dtype=arr.dtype)
+        for d in range(self.D):
+            out[:, d::self.D] = arr[:, d, :]
+        return jnp.asarray(out)

@@ -1,0 +1,30 @@
+"""Persistent XLA compilation cache setup.
+
+The limb-arithmetic graphs (unrolled schoolbook multiplies inside NTT
+stages, MSM scan bodies) are large; first-compile costs tens of seconds.
+Enabling JAX's persistent cache amortizes that across processes — pytest
+runs, the demo CLI, and bench.py all reuse the same compiled artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+_enabled = False
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    global _enabled
+    if _enabled:
+        return
+    import jax
+
+    cache_dir = path or os.environ.get("KZG_TPU_JAX_CACHE", _DEFAULT_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _enabled = True
