@@ -102,14 +102,138 @@ class NttContext:
             span *= 2
         return x.reshape(lead + (n,))
 
-    def ntt(self, coeffs: jax.Array) -> jax.Array:
+    def _bitrev_2d(self, values: jax.Array) -> jax.Array:
+        """Bit-reversal permutation via two small static gathers + one
+        transpose: for i = a*2^h2 + b, rev(i) = rev_h1(a)*2^h2 + rev_h2(b),
+        so permuting each half-index and swapping axes realizes the full
+        permutation without an n-wide gather."""
+        n = self.n
+        bits = n.bit_length() - 1
+        h1 = bits // 2
+        h2 = bits - h1
+        A, B = 1 << h1, 1 << h2
+        revA = _bit_reverse_indices(A)
+        revB = _bit_reverse_indices(B)
+        L = values.shape[0]
+        x2d = values.reshape(L, A, B)
+        permuted = x2d[:, revA][:, :, revB]
+        return permuted.transpose(0, 2, 1).reshape(L, n)
+
+    def _stage_twiddles(self, table: jax.Array) -> jax.Array:
+        """(stages, L, n) per-stage full-width twiddle rows:
+        row t[i] = w^((i mod span) * n/(2 span)) with span = 2^t —
+        trades HBM (stages * n elements) for a gather-free stage body."""
+        n = self.n
+        L = table.shape[0]
+        stages = n.bit_length() - 1
+        rows = []
+        for t in range(stages):
+            span = 1 << t
+            stride = n // (2 * span)
+            base = table[:, 0:span * stride:stride]        # (L, span)
+            rows.append(jnp.tile(base, (1, n // span)))
+        return jnp.stack(rows, axis=0)
+
+    def _transform_scan(self, values: jax.Array, stage_tws: jax.Array
+                        ) -> jax.Array:
+        """Gather-free compile-light transform: lax.scan over stages whose
+        body uses two dynamic rolls (fast lane permutations on TPU) and the
+        precomputed per-stage twiddle rows.  (L, n) operands only."""
+        be = self.backend
+        n = self.n
+        if n == 1:
+            return values
+        x = self._bitrev_2d(values)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        stages = n.bit_length() - 1
+        spans = jnp.array([1 << t for t in range(stages)], dtype=jnp.int32)
+
+        def stage(x, inp):
+            span, tw = inp
+            upper = (idx & span) != 0
+            xl = jnp.where(upper[None], jnp.roll(x, span, axis=1), x)
+            xu = jnp.where(upper[None], x, jnp.roll(x, -span, axis=1))
+            prod = be.mul(xu, tw)
+            out = jnp.where(upper[None], be.sub(xl, prod), be.add(xl, prod))
+            return out, None
+
+        x, _ = jax.lax.scan(stage, x, (spans, stage_tws))
+        return x
+
+    def _get_stage_tws(self, forward: bool) -> jax.Array:
+        attr = "_stage_tw_fwd" if forward else "_stage_tw_inv"
+        if not hasattr(self, attr):
+            setattr(self, attr, self._stage_twiddles(
+                self.tw_fwd if forward else self.tw_inv))
+        return getattr(self, attr)
+
+    def _transform_light(self, values: jax.Array, table: jax.Array
+                         ) -> jax.Array:
+        """Compile-light variant: one fori_loop whose body does a full
+        butterfly stage with dynamic gathers (x[l], x[l|span], twiddle
+        lookup).  ~100x smaller compiled graph than the unrolled form at
+        large n (log2(n) iterations of one shared body); runtime trades
+        slice/reshape data movement for three gathers per stage.  Only for
+        (L, n) operands."""
+        be = self.backend
+        n = self.n
+        if n == 1:
+            return values
+        x = values[:, self.bitrev]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        stages = n.bit_length() - 1
+
+        def stage(t, x):
+            span = jnp.int32(1) << t
+            upper = (idx & span) != 0
+            lo_idx = idx & ~span
+            hi_idx = idx | span
+            stride = jnp.int32(n) >> (t + 1)          # n // (2*span)
+            tw_idx = (idx & (span - 1)) * stride
+            xl = x[:, lo_idx]
+            xu = x[:, hi_idx]
+            twf = table[:, tw_idx]
+            prod = be.mul(xu, twf)
+            return jnp.where(upper[None], be.sub(xl, prod), be.add(xl, prod))
+
+        return jax.lax.fori_loop(0, stages, stage, x)
+
+    def ntt(self, coeffs: jax.Array, light: bool | None = None) -> jax.Array:
         """Evaluate: out[:, i] = p(w^i).  coeffs (L, n) Montgomery form."""
+        mode = self._mode(light, coeffs)
+        if mode == "scan":
+            return self._transform_scan(coeffs, self._get_stage_tws(True))
+        if mode == "gather":
+            return self._transform_light(coeffs, self.tw_fwd)
         return self._transform(coeffs, self.tw_fwd)
 
-    def intt(self, evals: jax.Array) -> jax.Array:
+    def intt(self, evals: jax.Array, light: bool | None = None) -> jax.Array:
         """Interpolate: inverse transform scaled by n^-1."""
-        out = self._transform(evals, self.tw_inv)
+        mode = self._mode(light, evals)
+        if mode == "scan":
+            out = self._transform_scan(evals, self._get_stage_tws(False))
+        elif mode == "gather":
+            out = self._transform_light(evals, self.tw_inv)
+        else:
+            out = self._transform(evals, self.tw_inv)
         return self.backend.mul(out, self.n_inv)
+
+    def _mode(self, light: bool | None, values: jax.Array) -> str:
+        """'unrolled' (per-stage graphs: fastest small-n, pathological
+        compile at scale), 'scan' (roll-based shared body: compile-light,
+        gather-free), or 'gather' (legacy shared body).  (L, n) operands
+        only for the shared-body forms."""
+        if values.ndim != 2:
+            return "unrolled"
+        if light is True:
+            return "gather"
+        if light is False:
+            return "unrolled"
+        import os
+        mode = os.environ.get("KZG_TPU_NTT_MODE", "auto")
+        if mode in ("scan", "gather", "unrolled"):
+            return mode
+        return "scan" if self.n >= (1 << 11) else "unrolled"
 
     # ------------------------------------------------------------------
     def powers(self, c: int) -> jax.Array:

@@ -23,6 +23,16 @@ from kzg_snark_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
+# The host sitecustomize may have imported jax before this conftest ran;
+# pin the platform through the config system as well so the first backend
+# initialization lands on CPU even in that case.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover
+    pass
+
 REFERENCE_FIXTURES = "/root/reference/constraint-system"
 
 

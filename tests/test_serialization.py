@@ -15,8 +15,8 @@ def test_srs_roundtrip_host(tmp_path):
     path = os.path.join(tmp_path, "srs.npz")
     save_srs(path, kzg, ck, rk)
     ck2, rk2 = load_srs(path, kzg, device=False)
-    assert rk2 == rk
     from kzg_snark_tpu.ops.host import curve as pc
+    assert pc.eq(rk2, rk)  # same group element (affine-normalized on save)
     for a, b in zip(ck, ck2):
         assert pc.eq(a, b)
     # A reloaded SRS produces verifying proofs.
