@@ -30,6 +30,17 @@ import jax.numpy as jnp
 from .fr import FieldBackend
 
 
+def _pallas_enabled() -> bool:
+    import os
+    flag = os.environ.get("KZG_TPU_PALLAS", "auto")
+    if flag in ("1", "true", "on"):
+        return True
+    if flag in ("0", "false", "off"):
+        return False
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def _bit_reverse_indices(n: int) -> jnp.ndarray:
     bits = n.bit_length() - 1
     rev = [int(format(i, f"0{bits}b")[::-1], 2) if bits else 0
@@ -138,7 +149,9 @@ class NttContext:
                         ) -> jax.Array:
         """Gather-free compile-light transform: lax.scan over stages whose
         body uses two dynamic rolls (fast lane permutations on TPU) and the
-        precomputed per-stage twiddle rows.  (L, n) operands only."""
+        precomputed per-stage twiddle rows.  The butterfly combine runs as
+        a fused Pallas VMEM kernel when enabled (KZG_TPU_PALLAS, default on
+        for non-CPU backends).  (L, n) operands only."""
         be = self.backend
         n = self.n
         if n == 1:
@@ -147,14 +160,22 @@ class NttContext:
         idx = jnp.arange(n, dtype=jnp.int32)
         stages = n.bit_length() - 1
         spans = jnp.array([1 << t for t in range(stages)], dtype=jnp.int32)
+        use_pallas = _pallas_enabled()
+        if use_pallas:
+            from .pallas_fr import fused_butterfly
 
         def stage(x, inp):
             span, tw = inp
             upper = (idx & span) != 0
             xl = jnp.where(upper[None], jnp.roll(x, span, axis=1), x)
             xu = jnp.where(upper[None], x, jnp.roll(x, -span, axis=1))
-            prod = be.mul(xu, tw)
-            out = jnp.where(upper[None], be.sub(xl, prod), be.add(xl, prod))
+            if use_pallas:
+                mask = upper[None].astype(jnp.uint32)
+                out = fused_butterfly(be, xl, xu, tw, mask)
+            else:
+                prod = be.mul(xu, tw)
+                out = jnp.where(upper[None], be.sub(xl, prod),
+                                be.add(xl, prod))
             return out, None
 
         x, _ = jax.lax.scan(stage, x, (spans, stage_tws))

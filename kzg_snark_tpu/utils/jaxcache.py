@@ -20,9 +20,19 @@ def enable_compilation_cache(path: str | None = None) -> None:
     global _enabled
     if _enabled:
         return
+    import hashlib
+
     import jax
 
-    cache_dir = path or os.environ.get("KZG_TPU_JAX_CACHE", _DEFAULT_DIR)
+    base = path or os.environ.get("KZG_TPU_JAX_CACHE", _DEFAULT_DIR)
+    # Partition by platform + XLA flags: AOT entries record target machine
+    # features derived from flags; loading a mismatched entry can SIGSEGV
+    # (observed with --xla_force_host_platform_device_count toggling
+    # prefer-no-scatter on XLA:CPU).
+    tag = hashlib.sha1(
+        (os.environ.get("JAX_PLATFORMS", "") + "|"
+         + os.environ.get("XLA_FLAGS", "")).encode()).hexdigest()[:10]
+    cache_dir = os.path.join(base, tag)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
