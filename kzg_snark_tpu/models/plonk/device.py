@@ -219,7 +219,6 @@ class DeviceProver:
         k1 = ipk["subgroups"]["k1"]
         k2 = ipk["subgroups"]["k2"]
         sigma_star = ipk["sigma_star"]
-        polynomials = ipk["polynomials"]
 
         core = PlonkDeviceCore(kzg.curve_type, n)
         be = core.be

@@ -150,7 +150,9 @@ class FieldBackend:
             shift *= 2
         carry_in = cls._shift_up(g, 1)
         out = (s + carry_in) & LIMB_MASK
-        return out, g[-1]
+        # positive index: a literal -1 lowers to dynamic_slice, which the
+        # Mosaic (Pallas TPU) backend cannot lower
+        return out, g[n - 1]
 
     @classmethod
     def _carry(cls, acc: jax.Array) -> jax.Array:
@@ -242,8 +244,10 @@ class FieldBackend:
         a = align(a)
         b = align(b)
         prod = a[:, None] * b[None, :]            # (L, L, ...) exact uint32
-        lo = prod & LIMB_MASK
-        hi = prod >> LIMB_BITS
+        # Halves fit int32; sums below stay < 2^22.  int32 keeps the
+        # reduction Mosaic-lowerable (no unsigned reductions on TPU Pallas).
+        lo = (prod & LIMB_MASK).astype(jnp.int32)
+        hi = (prod >> LIMB_BITS).astype(jnp.int32)
 
         pad_cfg = [(0, 0), (0, K + 1 - L)] + [(0, 0)] * len(batch)
 
@@ -252,7 +256,7 @@ class FieldBackend:
             p = jnp.pad(m, pad_cfg)                # (L, K+1, ...)
             flat = p.reshape((L * (K + 1),) + batch)
             if extra_shift:
-                z = jnp.zeros((extra_shift,) + batch, dtype=jnp.uint32)
+                z = jnp.zeros((extra_shift,) + batch, dtype=m.dtype)
                 flat = jnp.concatenate([z, flat[:L * K - extra_shift]], axis=0)
             else:
                 flat = flat[:L * K]
@@ -266,9 +270,10 @@ class FieldBackend:
             col = jnp.arange(K)[None, :]
             row = jnp.arange(L)[:, None]
             shape_mask = lambda m: m.reshape((L, K) + (1,) * len(batch))
-            lo_sk = lo_sk * shape_mask((col >= row).astype(jnp.uint32))
-            hi_sk = hi_sk * shape_mask((col > row).astype(jnp.uint32))
-        return jnp.sum(lo_sk, axis=0) + jnp.sum(hi_sk, axis=0)
+            lo_sk = lo_sk * shape_mask((col >= row).astype(jnp.int32))
+            hi_sk = hi_sk * shape_mask((col > row).astype(jnp.int32))
+        total = jnp.sum(lo_sk, axis=0) + jnp.sum(hi_sk, axis=0)
+        return total.astype(jnp.uint32)
 
     def _mul_wide(self, a: jax.Array, b: jax.Array) -> jax.Array:
         """Full product -> 2L fully-carried limbs (axis 0)."""

@@ -24,6 +24,15 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
     import jax
 
+    # The XLA:CPU executable (de)serialization in this jax build segfaults
+    # on some large compiled programs (observed deterministically on the
+    # device-prover executables), so the persistent cache is only enabled
+    # for accelerator backends unless forced.
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" and \
+            os.environ.get("KZG_TPU_JAX_CACHE_FORCE", "0") != "1":
+        _enabled = True
+        return
+
     base = path or os.environ.get("KZG_TPU_JAX_CACHE", _DEFAULT_DIR)
     # Partition by platform + XLA flags: AOT entries record target machine
     # features derived from flags; loading a mismatched entry can SIGSEGV

@@ -95,6 +95,9 @@ def main():
                         help="deterministic randomness seed (default: OS entropy)")
     parser.add_argument("--demo", choices=["kzg", "marlin", "plonk", "all"],
                         default="all")
+    parser.add_argument("--timing", action="store_true",
+                        help="print per-demo wall-time report (SURVEY.md §5 "
+                             "observability; the reference has none)")
     args = parser.parse_args()
     seed = args.seed if args.seed is not None else int(time.time())
 
@@ -102,13 +105,24 @@ def main():
     results = {}
     demos = {"kzg": demo_kzg, "marlin": demo_marlin, "plonk": demo_plonk}
     selected = list(demos) if args.demo == "all" else [args.demo]
+    timer = None
+    if args.timing:
+        from kzg_snark_tpu.utils.profiling import PhaseTimer
+        timer = PhaseTimer()
     for name in selected:
         try:
-            results[name] = demos[name](args.backend, seed)
+            if timer is not None:
+                with timer.phase(name):
+                    results[name] = demos[name](args.backend, seed)
+            else:
+                results[name] = demos[name](args.backend, seed)
         except Exception as e:  # isolate per-demo, reference main.py:100-113
             print(f"{name} demo failed: {type(e).__name__}: {e}\n")
             results[name] = False
 
+    if timer is not None:
+        print("Timing report:")
+        print(timer.dump())
     print("Demo complete!")
     return 0 if all(results.values()) else 1
 
