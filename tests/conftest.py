@@ -9,8 +9,11 @@ before the first ``import jax`` anywhere in the test process.
 import os
 
 # Force CPU: the host env pins JAX_PLATFORMS to the (exclusive, single-chip)
-# axon TPU tunnel; tests must not contend for it.
+# axon TPU tunnel; tests must not contend for it.  Clearing the pool IPs
+# also stops xdist workers (spawned with this process's env) from claiming
+# the tunnel via sitecustomize at interpreter start.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
