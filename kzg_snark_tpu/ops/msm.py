@@ -4,24 +4,27 @@ L2' of the TPU-native stack: replaces the reference's naive per-coefficient
 double-and-add commit loop (``/root/reference/kzg.py:112-117``) with a
 bucketed windowed method designed for the TPU's execution model:
 
-* **Lane-parallel bucket accumulation.**  The N points are split across
-  ``lanes`` vector lanes; each lane serially accumulates its N/lanes points
-  into a private bucket table via one ``lax.scan`` whose body is a single
-  complete Jacobian add + gather/scatter — work-optimal (one add per point
-  per window) and compiled once.
-* **Fixed-width reductions.**  Lane-table merging, the weighted bucket sum
-  (suffix-scan trick: sum_k k B_k = sum_j S_j with S_j = sum_{k>=j} B_k)
-  and final folds run as ``fori_loop`` roll-and-add ladders, so the
-  compiled graph stays small no matter the problem size.
-* **One compiled program.**  Windows are a ``lax.scan`` around the bucket
-  body, so the whole MSM is a single small jit — nested scans keep compile
-  cost independent of N and the window count, and the same traced core is
-  reused inside ``shard_map`` for the multi-chip variant.
+* **Lane-parallel bucket accumulation, all windows at once.**  The N
+  points are split across ``lanes`` vector lanes and the W scalar windows
+  ride in the batch width: one ``lax.scan`` over N/lanes steps whose body
+  is a single complete *mixed* add (madd-2007-bl; incoming points are
+  affine SRS entries) of width W*lanes + a take_along_axis/scatter pair on
+  the (3, L, W, B, lanes) bucket table.  Work-optimal (one add per point
+  per window), sequential depth N/lanes, compiled once.
+* **Tree reductions.**  Lane-table merging and the weighted bucket sum
+  (suffix trick: sum_k k B_k = sum_{j>=1} S_j with S_j = sum_{k>=j} B_k,
+  suffix sums via a fori_loop Hillis-Steele ladder) keep both the work
+  and the compiled graph small: the merge is ~W*B*lanes adds total, the
+  suffix ladder ~W*B*log(B).
+* **One compiled program.**  Nested scans keep compile cost independent of
+  N and the window count, and the same traced core is reused inside
+  ``shard_map`` for the multi-chip variant.
 
 Scalars arrive as *canonical* (non-Montgomery) 16-bit limb arrays; windows
 are ``window_bits`` wide (must divide 16).  Zero scalars land in bucket 0,
 which is discarded — matching the reference's zero-coefficient skip
-semantics by value.
+semantics by value.  Lane padding pairs the curve *generator* with digit 0
+(the mixed add requires finite points; the padded lanes die in bucket 0).
 
 The multi-chip variant (points sharded, per-chip partial MSMs combined with
 a collective) lives in ``parallel/msm_dist.py``.
@@ -38,37 +41,6 @@ from .fr import FieldBackend, LIMB_BITS
 from .g1 import CurveOps
 
 
-def _roll_reduce_sum(curve: CurveOps, pts: jax.Array, axis_len: int):
-    """Sum ``pts`` (3, L, ..., axis_len) along the last axis into slot 0
-    using a fixed-width roll-and-add ladder (log2 steps, body compiled
-    once).  Returns (3, L, ..., axis_len) with the total in [..., 0]."""
-    steps = max(axis_len - 1, 0).bit_length()
-
-    def body(t, x):
-        shift = 1 << t
-        return curve.add(x, jnp.roll(x, -shift, axis=-1))
-
-    return jax.lax.fori_loop(0, steps, body, pts)
-
-
-def _suffix_scan(curve: CurveOps, pts: jax.Array, axis_len: int):
-    """Inclusive suffix sums S_j = sum_{k>=j} B_k along the last axis
-    (Hillis-Steele ladder with identity fill)."""
-    steps = max(axis_len - 1, 0).bit_length()
-    idx = jnp.arange(axis_len)
-
-    def body(t, x):
-        shift = 1 << t
-        rolled = jnp.roll(x, -shift, axis=-1)
-        valid = (idx < axis_len - shift)
-        rolled = jnp.where(valid[None, None], rolled * 1,
-                           jnp.zeros_like(rolled))
-        # invalid slots: rolled Z forced to 0 => identity for complete add
-        return curve.add(x, rolled)
-
-    return jax.lax.fori_loop(0, steps, body, pts)
-
-
 def _vary(x: jax.Array, axis: str | None) -> jax.Array:
     """Mark a replicated constant as device-varying under shard_map (scan
     carries must match the varying-manual-axes type of their updates)."""
@@ -77,64 +49,99 @@ def _vary(x: jax.Array, axis: str | None) -> jax.Array:
     return jax.lax.pcast(x, (axis,), to="varying")
 
 
-def _window_body(curve: CurveOps, points: jax.Array, digits_w: jax.Array,
-                 lane_idx: jax.Array, num_buckets: int,
-                 vary_axis: str | None = None) -> jax.Array:
-    """One Pippenger window (traced inline; see _msm_core for the scan
-    over windows).
+def _halve_sum_last(curve: CurveOps, pts: jax.Array) -> jax.Array:
+    """Tree-sum along the last axis (power-of-two length): each level adds
+    the two halves, so total work is ~axis_len adds of geometrically
+    shrinking width (vs axis_len * log(axis_len) for a roll ladder).
+    (3, L, ..., n) -> (3, L, ...)."""
+    n = pts.shape[-1]
+    assert n & (n - 1) == 0, "halving tree needs a power-of-two length"
+    while n > 1:
+        half = n // 2
+        pts = curve.add(pts[..., :half], pts[..., half:])
+        n = half
+    return pts[..., 0]
 
-    points: (3, L, steps, lanes) Jacobian (identity-padded)
-    digits_w: (steps, lanes) uint32 bucket ids in [0, num_buckets)
-    returns (3, L) window sum  sum_i digit_i * P_i.
-    """
-    f = curve.f
-    L = f.num_limbs
-    lanes = points.shape[-1]
 
-    ident_x = jnp.broadcast_to(f.one_mont, (L, num_buckets * lanes)) \
-        .reshape(L, num_buckets, lanes)
-    buckets0 = _vary(jnp.stack(
-        [ident_x, ident_x, jnp.zeros_like(ident_x)], axis=0), vary_axis)
+def _suffix_ladder(curve: CurveOps, pts: jax.Array) -> jax.Array:
+    """Inclusive suffix sums S_j = sum_{k>=j} pts[..., k] along the last
+    axis (power-of-two length): Hillis-Steele with identity fill, one
+    fori_loop body."""
+    n = pts.shape[-1]
+    steps = max(n - 1, 0).bit_length()
+    idx = jnp.arange(n)
 
-    def step(buckets, inp):
-        pts_t, dig_t = inp       # (3, L, lanes), (lanes,)
-        cur = buckets[:, :, dig_t, lane_idx]
-        new = curve.add(cur, pts_t)
-        buckets = buckets.at[:, :, dig_t, lane_idx].set(new,
-                                                        unique_indices=True)
-        return buckets, None
+    def body(t, x):
+        shift = 1 << t
+        rolled = jnp.roll(x, -shift, axis=-1)
+        # Out-of-range slots become all-zero (Z = 0 -> identity for add).
+        rolled = jnp.where(idx < n - shift, rolled, 0)
+        return curve.add(x, rolled)
 
-    xs = (jnp.moveaxis(points, 2, 0), digits_w)   # leading steps axis
-    buckets, _ = jax.lax.scan(step, buckets0, xs)
-
-    # Drop bucket 0 (zero digits) by forcing it to the identity.
-    buckets = buckets.at[2, :, 0, :].set(0)
-
-    # Merge the per-lane tables: (3, L, B, lanes) -> (3, L, B).
-    merged = _roll_reduce_sum(curve, buckets, lanes)[..., 0]
-
-    # Weighted sum over buckets: sum_k k B_k = sum_{j>=1} S_j where
-    # S_j = sum_{k>=j} B_k.
-    suffix = _suffix_scan(curve, merged, num_buckets)
-    suffix = suffix.at[2, :, 0].set(0)
-    total = _roll_reduce_sum(curve, suffix, num_buckets)[..., 0]
-    return total
+    return jax.lax.fori_loop(0, steps, body, pts)
 
 
 def _msm_core(curve: CurveOps, points: jax.Array, digits: jax.Array,
               window_bits: int, vary_axis: str | None = None) -> jax.Array:
-    """Full Pippenger MSM as one traced computation: lax.scan over windows
-    (each window body itself a scan over point chunks), then a Horner fold.
-    points (3, L, steps, lanes); digits (W, steps, lanes) -> (3, L)."""
-    lanes = points.shape[-1]
-    lane_idx = jnp.arange(lanes)
-    num_buckets = 1 << window_bits
+    """Full Pippenger MSM as one traced computation.
 
-    def per_window(_, digits_w):
-        return None, _window_body(curve, points, digits_w, lane_idx,
-                                  num_buckets, vary_axis)
+    points: (3, L, steps, lanes) Jacobian with Z = 1 — affine points;
+        padding lanes must hold a real curve point (the generator), never
+        the identity, paired with digit 0 so they land in the discarded
+        bucket.  The accumulation step then uses the cheap complete *mixed*
+        add (madd-2007-bl, ~35% fewer field muls than Jacobian-Jacobian).
+    digits: (W, steps, lanes) uint32 bucket ids in [0, 2^window_bits).
 
-    _, window_sums = jax.lax.scan(per_window, None, digits)   # (W, 3, L)
+    Structure (all windows processed together — the VPU sees W*lanes-wide
+    batches and the sequential depth is steps, not W*steps):
+      1. one lax.scan over ``steps``: gather the (W, lanes) addressed
+         buckets, one mixed add of width W*lanes, scatter back;
+      2. lane-table merge by a halving tree (work ~ W*B*lanes adds);
+      3. weighted bucket sum per window via an inclusive suffix-sum
+         ladder + halving tree;
+      4. Horner fold over windows (W * window_bits doublings, width 1).
+
+    Returns the (3, L) Jacobian total.
+    """
+    f = curve.f
+    L = f.num_limbs
+    W, steps, lanes = digits.shape
+    B = 1 << window_bits
+
+    ident_x = jnp.broadcast_to(
+        f.one_mont.reshape(L, 1, 1, 1), (L, W, B, lanes))
+    buckets0 = _vary(jnp.stack(
+        [ident_x, ident_x, jnp.zeros_like(ident_x)], axis=0), vary_axis)
+
+    w_idx = jnp.arange(W)[:, None]
+    lane_idx = jnp.arange(lanes)[None, :]
+
+    def step(buckets, inp):
+        pts_t, dig_t = inp       # (3, L, lanes), (W, lanes)
+        dig_e = dig_t[None, None, :, None, :].astype(jnp.int32)
+        cur = jnp.take_along_axis(buckets, dig_e, axis=3)[:, :, :, 0, :]
+        new = curve.add_mixed(cur, pts_t[0][:, None, :], pts_t[1][:, None, :])
+        buckets = buckets.at[:, :, w_idx, dig_t, lane_idx].set(
+            new, unique_indices=True)
+        return buckets, None
+
+    xs = (jnp.moveaxis(points, 2, 0), jnp.moveaxis(digits, 1, 0))
+    buckets, _ = jax.lax.scan(step, buckets0, xs)
+
+    # Drop bucket 0 (zero digits and padding) by forcing it to the identity.
+    buckets = buckets.at[2, :, :, 0, :].set(0)
+
+    # Merge the per-lane tables: (3, L, W, B, lanes) -> (3, L, W, B).
+    merged = _halve_sum_last(curve, buckets)
+
+    # Weighted sum over buckets: sum_k k B_k = sum_{j>=1} S_j with
+    # S_j = sum_{k>=j} B_k (inclusive suffix sums).  Hillis-Steele ladder
+    # in a fori_loop: B log B adds of work but a single small compiled body
+    # (an unrolled work-efficient scan would inline the ~700-op group add
+    # at every node — measured 166k jaxpr equations at B=256).
+    suffix = _suffix_ladder(curve, merged)
+    suffix = suffix.at[2, :, :, 0].set(0)        # exclude the j=0 term
+    window_sums = _halve_sum_last(curve, suffix)             # (3, L, W)
 
     def fold(acc, gw):
         def dbl(_, a):
@@ -143,7 +150,8 @@ def _msm_core(curve: CurveOps, points: jax.Array, digits: jax.Array,
         return curve.add(acc, gw[..., None]), None
 
     init = _vary(curve.identity(), vary_axis)    # (3, L, 1)
-    acc, _ = jax.lax.scan(fold, init, window_sums, reverse=True)
+    acc, _ = jax.lax.scan(fold, init, jnp.moveaxis(window_sums, -1, 0),
+                          reverse=True)
     return acc[..., 0]
 
 
@@ -177,6 +185,7 @@ class MsmContext:
         assert LIMB_BITS % window_bits == 0, \
             "window size must divide the 16-bit limb width"
         from .fr import fq_backend, fr_backend
+        self.curve_type = curve_type
         self.curve = CurveOps(fq_backend(curve_type))
         self.scalar_backend = fr_backend(curve_type)
         self.window_bits = window_bits
@@ -184,12 +193,24 @@ class MsmContext:
 
     # ------------------------------------------------------------------
     def _choose_lanes(self, n: int) -> int:
-        # Bucket table = 3 * L * B * lanes * 4 bytes; keep it ~<= 64 MB
-        # while giving the VPU full lanes.
-        for lanes in (512, 256, 128, 64, 32, 16, 8):
-            if n >= lanes * 4 or lanes == 8:
-                return lanes
-        return 8
+        # All W windows ride in the vector width, so each scan step is a
+        # W*lanes-wide add; lanes trades lane-merge work (W*B*lanes extra
+        # adds) against sequential depth (n/lanes steps).
+        if n >= 32768:
+            return 128
+        if n >= 4096:
+            return 64
+        return 32
+
+    def _generator_pad(self, pad: int) -> jax.Array:
+        """(3, L, pad) copies of the curve generator (affine, Z=1) — the
+        required padding for _msm_core (paired with digit 0, discarded via
+        bucket 0; identity padding would poison the mixed add)."""
+        from .. import constants as C
+        gx, gy = (C.BN254_G1 if self.curve_type == "bn254"
+                  else C.BLS12_381_G1)
+        g = self.curve.from_affine_ints([gx], [gy])     # (3, L, 1)
+        return jnp.broadcast_to(g, g.shape[:2] + (pad,))
 
     def _digits(self, scalars_limbs: jax.Array, steps: int, lanes: int):
         """(Ls, N) canonical limbs -> (W, steps, lanes) window digits."""
@@ -212,7 +233,9 @@ class MsmContext:
     def msm(self, points: jax.Array, scalars_limbs: jax.Array) -> jax.Array:
         """sum_i scalars[i] * points[i].
 
-        points: (3, L, N) Jacobian batch (affine Z=1 typical).
+        points: (3, L, N) with Z = 1 (affine; SRS entries are never the
+            identity — the Pippenger path's mixed add requires finite
+            points, see _msm_core).
         scalars_limbs: (Ls, N) canonical (non-Montgomery) 16-bit limbs.
         Returns (3, L, 1) Jacobian result.
         """
@@ -234,9 +257,8 @@ class MsmContext:
         pad = steps * lanes - n
 
         if pad:
-            ident = curve.identity()                 # (3, L, 1)
-            pad_pts = jnp.broadcast_to(ident, (3, L, pad))
-            points = jnp.concatenate([points, pad_pts], axis=-1)
+            points = jnp.concatenate(
+                [points, self._generator_pad(pad)], axis=-1)
         pts = points.reshape(3, L, steps, lanes)
 
         digits = self._digits(scalars_limbs, steps, lanes)

@@ -31,14 +31,8 @@ from .fr import FieldBackend
 
 
 def _pallas_enabled() -> bool:
-    import os
-    flag = os.environ.get("KZG_TPU_PALLAS", "auto")
-    if flag in ("1", "true", "on"):
-        return True
-    if flag in ("0", "false", "off"):
-        return False
-    import jax
-    return jax.default_backend() != "cpu"
+    from .pallas_fr import pallas_enabled
+    return pallas_enabled()
 
 
 def _bit_reverse_indices(n: int) -> jnp.ndarray:

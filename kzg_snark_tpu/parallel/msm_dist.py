@@ -68,9 +68,8 @@ class DistMsmContext:
         steps = -(-n // lanes)
         pad = steps * lanes - n
         if pad:
-            ident = curve.identity()
             points = jnp.concatenate(
-                [points, jnp.broadcast_to(ident, (3, L, pad))], axis=-1)
+                [points, self.base._generator_pad(pad)], axis=-1)
         pts = points.reshape(3, L, steps, lanes)
         digits = self.base._digits(scalars_limbs, steps, lanes)
 

@@ -75,3 +75,72 @@ def test_scan_ntt_with_pallas_flag(monkeypatch):
     dev = be.to_ints(ctx._transform_scan(be.from_ints(coeffs),
                                          ctx._get_stage_tws(True)))
     assert dev == host
+
+
+def _affine_batch(n: int):
+    """n distinct affine points (2^i G) as a (3, L, n) Z=1 batch."""
+    from kzg_snark_tpu.ops.msm import msm_context
+    import jax.numpy as jnp
+
+    ctx = msm_context("bn254")
+    curve = ctx.curve
+    pts = [ctx._generator_pad(1)]
+    for _ in range(1, n):
+        pts.append(curve.double_xla(pts[-1]))
+    raw = jnp.concatenate(pts, axis=-1)
+    aff = curve.to_affine_ints(raw)
+    return curve, curve.from_affine_ints([a[0] for a in aff],
+                                         [a[1] for a in aff])
+
+
+def test_fused_curve_add_matches_xla():
+    import numpy as np
+    import jax.numpy as jnp
+
+    curve, P = _affine_batch(128)
+    Q = jnp.concatenate([P[..., 1:], P[..., :1]], axis=-1)
+    assert np.array_equal(np.asarray(curve.add_xla(P, Q)),
+                          np.asarray(pallas_fr.fused_curve_add(curve, P, Q)))
+
+
+def test_fused_curve_double_matches_xla():
+    import numpy as np
+
+    curve, P = _affine_batch(128)
+    assert np.array_equal(np.asarray(curve.double_xla(P)),
+                          np.asarray(pallas_fr.fused_curve_double(curve, P)))
+
+
+def test_fused_curve_add_mixed_matches_xla_and_general():
+    import numpy as np
+    import jax.numpy as jnp
+
+    curve, P = _affine_batch(128)
+    Q = jnp.concatenate([P[..., 1:], P[..., :1]], axis=-1)
+    mixed = pallas_fr.fused_curve_add_mixed(curve, P, Q[0], Q[1])
+    assert np.array_equal(np.asarray(curve.add_mixed_xla(P, Q[0], Q[1])),
+                          np.asarray(mixed))
+    # madd-2007-bl with Z2 = 1 produces the same representative as the
+    # general add-2007-bl path, so mixed == general holds bit-for-bit.
+    assert np.array_equal(np.asarray(curve.add_xla(P, Q)), np.asarray(mixed))
+
+
+def test_fused_curve_add_mixed_edge_cases():
+    import numpy as np
+    import jax.numpy as jnp
+
+    curve, P = _affine_batch(4)
+    f = curve.f
+    qx, qy = P[0], P[1]
+    # identity + q == q
+    ident = curve.identity((4,))
+    out = pallas_fr.fused_curve_add_mixed(curve, ident, qx, qy)
+    assert np.array_equal(np.asarray(out[0]), np.asarray(qx))
+    assert np.array_equal(np.asarray(out[1]), np.asarray(qy))
+    # p + p == double(p)
+    out = pallas_fr.fused_curve_add_mixed(curve, P, qx, qy)
+    assert np.array_equal(np.asarray(out), np.asarray(curve.double_xla(P)))
+    # p + (-p) == identity
+    neg = jnp.stack([qx, f.neg(qy), jnp.broadcast_to(f.one_mont, qx.shape)])
+    out = pallas_fr.fused_curve_add_mixed(curve, neg, qx, qy)
+    assert bool(f.is_zero(out[2]).all())
