@@ -213,9 +213,25 @@ class NttContext:
 
         return jax.lax.fori_loop(0, stages, stage, x)
 
+    def _transform_staged(self, values: jax.Array, forward: bool
+                          ) -> jax.Array:
+        """Stage-unrolled Pallas path: one kernel per stage with in-kernel
+        pairing (no XLA roll/select passes); see ops/ntt_stage.py."""
+        from .ntt_stage import StagedNtt
+        from . import pallas_fr
+
+        if not hasattr(self, "_staged"):
+            self._staged = StagedNtt(self.backend.modulus, self.n)
+        table = self.tw_fwd if forward else self.tw_inv
+        x = self._bitrev_2d(values)
+        return self._staged.transform(x, table,
+                                      interpret=pallas_fr._INTERPRET)
+
     def ntt(self, coeffs: jax.Array, light: bool | None = None) -> jax.Array:
         """Evaluate: out[:, i] = p(w^i).  coeffs (L, n) Montgomery form."""
         mode = self._mode(light, coeffs)
+        if mode == "staged":
+            return self._transform_staged(coeffs, True)
         if mode == "scan":
             return self._transform_scan(coeffs, self._get_stage_tws(True))
         if mode == "gather":
@@ -225,7 +241,9 @@ class NttContext:
     def intt(self, evals: jax.Array, light: bool | None = None) -> jax.Array:
         """Interpolate: inverse transform scaled by n^-1."""
         mode = self._mode(light, evals)
-        if mode == "scan":
+        if mode == "staged":
+            out = self._transform_staged(evals, False)
+        elif mode == "scan":
             out = self._transform_scan(evals, self._get_stage_tws(False))
         elif mode == "gather":
             out = self._transform_light(evals, self.tw_inv)
@@ -234,10 +252,11 @@ class NttContext:
         return self.backend.mul(out, self.n_inv)
 
     def _mode(self, light: bool | None, values: jax.Array) -> str:
-        """'unrolled' (per-stage graphs: fastest small-n, pathological
-        compile at scale), 'scan' (roll-based shared body: compile-light,
-        gather-free), or 'gather' (legacy shared body).  (L, n) operands
-        only for the shared-body forms."""
+        """'staged' (per-stage Pallas kernels with in-kernel pairing: the
+        fast path at scale), 'unrolled' (per-stage XLA graphs: fastest
+        small-n, pathological compile at scale), 'scan' (roll-based shared
+        body: compile-light, gather-free), or 'gather' (legacy shared
+        body).  (L, n) operands only for the shared-body/staged forms."""
         if values.ndim != 2:
             return "unrolled"
         if light is True:
@@ -246,9 +265,17 @@ class NttContext:
             return "unrolled"
         import os
         mode = os.environ.get("KZG_TPU_NTT_MODE", "auto")
-        if mode in ("scan", "gather", "unrolled"):
+        if mode in ("staged", "scan", "gather", "unrolled"):
             return mode
-        return "scan" if self.n >= (1 << 11) else "unrolled"
+        if self.n >= (1 << 11):
+            from . import pallas_fr
+            if self._staged_ok() and (pallas_fr.pallas_enabled()):
+                return "staged"
+            return "scan"
+        return "unrolled"
+
+    def _staged_ok(self) -> bool:
+        return self.n % (128 * 16) == 0
 
     # ------------------------------------------------------------------
     def powers(self, c: int) -> jax.Array:

@@ -1,15 +1,22 @@
-"""Pallas TPU kernels for the limb field arithmetic.
+"""Pallas TPU kernels for field and curve arithmetic.
 
-The XLA lowering of the modmul (ops/fr.py) fragments into ~50 unfused
-elementwise passes (pads/reshapes/concats break TPU fusion regions), each
-round-tripping HBM: measured ~210 ms per (16, 2^20) multiply — ~2% of
-HBM-bound speed — and minutes of compile per shape.  These kernels run the
-whole schoolbook + Montgomery reduction on VMEM tiles: one HBM read per
-operand, one write per result, compiled once per tile shape.
+Two generations of design informed these kernels (measured on v5e):
 
-The kernel bodies reuse FieldBackend's traced ops (they lower to Mosaic
-vector ops inside the kernel), so the arithmetic is bit-identical to the
-XLA path and covered by the same oracles.
+* The XLA lowering of the (L, N) limb-matrix modmul fragments into ~50
+  unfused elementwise passes — ~2% of the roofline, minutes of compile.
+* A first Pallas port of the same (L, N) ops reached only ~68M modmuls/s
+  (~5% of the VPU's measured 2.7 Tops/s u32-multiply rate): the limb-axis
+  pad/reshape/concat plumbing lowers to Mosaic relayouts (VMEM copies).
+
+The kernels here use the **register-limb** representation
+(``ops.regfield`` / ``ops.regcurve``): blocks are (L, S, 128) with the
+batch on both minor axes, each limb a separate natively-tiled 2D value,
+every loop unrolled, limb shifts free.  Modulus constants are baked-in
+python ints, so kernels take no constant operands.
+
+All kernels are bit-identical to the XLA FieldBackend/CurveOps paths
+(same formula and canonicalization order), which interpret-mode tests
+check against the host oracle.
 """
 
 from __future__ import annotations
@@ -20,6 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from .fr import FieldBackend
+from .regfield import RegField, reg_field
+from .regcurve import RegCurve
 
 _INTERPRET = False  # flipped by tests on CPU
 
@@ -43,56 +52,92 @@ def curve_kernels_enabled() -> bool:
     return pallas_enabled()
 
 
-def _tile_for(n: int) -> int:
-    for tile in (512, 256, 128):
-        if n % tile == 0:
-            return tile
-    return 0
+LANES = 128
 
 
-def _shim(be: FieldBackend, p_vals, np_vals, one_vals=None) -> FieldBackend:
-    """A FieldBackend view whose modulus/REDC constants are kernel inputs
-    (Pallas kernels may not capture constants — even trace-time literals).
-    ``one_vals`` (the Montgomery one) is needed by formulas that build the
-    curve identity inside the kernel (the complete-add selects)."""
-    shim = object.__new__(FieldBackend)
-    shim.__dict__.update(be.__dict__)
-    shim.p_limbs = p_vals
-    shim.n_prime_limbs = np_vals
-    if one_vals is not None:
-        shim.one_mont = one_vals
-    shim.zero_limbs = jnp.zeros((be.num_limbs, 1), dtype=jnp.uint32)
-    return shim
+CHUNK = 8          # native (8, 128) sublane tile — one vreg per limb temp
 
+
+def _block_rows(rows: int, cap: int) -> int:
+    """Rows per grid block: as fat as VMEM allows (``cap``), a multiple of
+    the 8-row chunk.  Two measured failure modes shape this: tiny blocks
+    pay a fixed ~10-20us per grid step (1024 steps -> 20 ms for a 2^20
+    modmul), while fat *tiles* (S=32 values) blow vector registers for the
+    ~30-50 live limb temps and spill to VMEM (~10x).  So: fat blocks, and
+    an in-kernel fori_loop over 8-row chunks — few grid steps, one-vreg
+    temps, and a body compiled once."""
+    if rows % CHUNK:
+        for s in (4, 2, 1):
+            if rows % s == 0:
+                return s
+        return 0
+    blk = min(rows, cap)
+    while rows % blk:
+        blk //= 2
+    return blk
+
+
+def _blockable(n: int, cap: int = 256):
+    """n -> (rows, block_rows) if the flat batch tiles as (rows, 128).
+    Caps keep each kernel's double-buffered working set under the 16MB
+    scoped-VMEM limit (measured hard error beyond it): 256 rows for
+    2-operand field kernels, 128 for the 4-operand butterfly, 64 for
+    curve kernels (points are 3x16 limb rows each)."""
+    if n % LANES:
+        return None
+    rows = n // LANES
+    return rows, _block_rows(rows, cap)
+
+
+def _foreach_chunk(nrows: int, body) -> None:
+    """In-kernel loop over 8-row chunks; falls back to a single direct
+    call for sub-chunk blocks (small batches)."""
+    import jax as _jax
+    from jax.experimental import pallas as pl
+
+    if nrows < CHUNK:
+        body(0, nrows)
+        return
+    G = nrows // CHUNK
+
+    def it(c, carry):
+        body(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)
+        return carry
+
+    _jax.lax.fori_loop(0, G, it, 0)
+
+
+# ---------------------------------------------------------------------------
+# Field kernels.
+# ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _mul_call(modulus: int, L: int, n: int, tile: int,
-              interpret: bool = False):
+def _mul_call(modulus: int, rows: int, S: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    be = FieldBackend(modulus)
+    rf = reg_field(modulus)
+    L = rf.L
 
-    def kernel(a_ref, b_ref, p_ref, np_ref, o_ref):
-        sb = _shim(be, p_ref[...], np_ref[...])
-        o_ref[...] = sb.mul(a_ref[...], b_ref[...])
+    def kernel(a_ref, b_ref, o_ref):
+        def chunk(r0, h):
+            a = [a_ref[i, pl.ds(r0, h), :] for i in range(L)]
+            b = [b_ref[i, pl.ds(r0, h), :] for i in range(L)]
+            out = rf.mul(a, b)
+            for i in range(L):
+                o_ref[i, pl.ds(r0, h), :] = out[i]
+        _foreach_chunk(S, chunk)
 
-    spec = pl.BlockSpec((L, tile), lambda i: (0, i),
+    spec = pl.BlockSpec((L, S, LANES), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(n // tile,),
-        in_specs=[spec, spec, cspec, cspec],
+        grid=(rows // S,),
+        in_specs=[spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, rows, LANES), jnp.uint32),
         interpret=interpret,
     )
-
-    def apply(a, b):
-        return call(a, b, be.p_limbs, be.n_prime_limbs)
-
-    return apply
 
 
 def fused_mul(be: FieldBackend, a: jax.Array, b: jax.Array) -> jax.Array:
@@ -101,173 +146,175 @@ def fused_mul(be: FieldBackend, a: jax.Array, b: jax.Array) -> jax.Array:
     if a.ndim != 2 or a.shape != b.shape:
         return be.mul(a, b)
     L, n = a.shape
-    tile = _tile_for(n)
-    if tile == 0:
+    blk = _blockable(n)
+    if not blk or blk[1] == 0:
         return be.mul(a, b)
-    return _mul_call(be.modulus, L, n, tile, _INTERPRET)(a, b)
+    rows, S = blk
+    call = _mul_call(be.modulus, rows, S, _INTERPRET)
+    out = call(a.reshape(L, rows, LANES), b.reshape(L, rows, LANES))
+    return out.reshape(L, n)
 
 
 @functools.lru_cache(maxsize=None)
-def _butterfly_call(modulus: int, L: int, n: int, tile: int,
-                    interpret: bool = False):
-    """Fused NTT stage butterfly: given pre-gathered lower/upper operand
-    rows and the stage twiddle row, produce the new row:
-    out = where(upper_mask, xl - tw*xu, xl + tw*xu)."""
+def _butterfly_call(modulus: int, rows: int, S: int, interpret: bool = False):
+    """Fused NTT stage butterfly: out = where(mask, xl - tw*xu, xl + tw*xu)
+    on pre-aligned rows."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    be = FieldBackend(modulus)
+    rf = reg_field(modulus)
+    L = rf.L
 
-    def kernel(xl_ref, xu_ref, tw_ref, mask_ref, p_ref, np_ref, o_ref):
-        sb = _shim(be, p_ref[...], np_ref[...])
-        xl = xl_ref[...]
-        xu = xu_ref[...]
-        prod = sb.mul(xu, tw_ref[...])
-        upper = mask_ref[...] != 0
-        o_ref[...] = jnp.where(upper, sb.sub(xl, prod), sb.add(xl, prod))
+    def kernel(xl_ref, xu_ref, tw_ref, mask_ref, o_ref):
+        def chunk(r0, h):
+            xl = [xl_ref[i, pl.ds(r0, h), :] for i in range(L)]
+            xu = [xu_ref[i, pl.ds(r0, h), :] for i in range(L)]
+            tw = [tw_ref[i, pl.ds(r0, h), :] for i in range(L)]
+            upper = mask_ref[0, pl.ds(r0, h), :] != 0
+            prod = rf.mul(xu, tw)
+            lo = rf.add(xl, prod)
+            hi = rf.sub(xl, prod)
+            out = rf.select(upper, hi, lo)
+            for i in range(L):
+                o_ref[i, pl.ds(r0, h), :] = out[i]
+        _foreach_chunk(S, chunk)
 
-    spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, tile), lambda i: (0, i),
+    spec = pl.BlockSpec((L, S, LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, S, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(n // tile,),
-        in_specs=[spec, spec, spec, mspec, cspec, cspec],
+        grid=(rows // S,),
+        in_specs=[spec, spec, spec, mspec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, rows, LANES), jnp.uint32),
         interpret=interpret,
     )
-
-    def apply(xl, xu, tw, mask):
-        return call(xl, xu, tw, mask, be.p_limbs, be.n_prime_limbs)
-
-    return apply
 
 
 def fused_butterfly(be: FieldBackend, xl, xu, tw, upper_mask) -> jax.Array:
     """One NTT stage combine on pre-aligned rows; upper_mask (1, n) uint32."""
     L, n = xl.shape
-    tile = _tile_for(n)
-    if tile == 0:
+    blk = _blockable(n, cap=128)
+    if not blk or blk[1] == 0:
         prod = be.mul(xu, tw)
         upper = upper_mask != 0
         return jnp.where(upper, be.sub(xl, prod), be.add(xl, prod))
-    return _butterfly_call(be.modulus, L, n, tile, _INTERPRET)(
-        xl, xu, tw, upper_mask)
+    rows, S = blk
+    call = _butterfly_call(be.modulus, rows, S, _INTERPRET)
+    out = call(xl.reshape(L, rows, LANES), xu.reshape(L, rows, LANES),
+               tw.reshape(L, rows, LANES),
+               upper_mask.reshape(1, rows, LANES))
+    return out.reshape(L, n)
 
 
 # ---------------------------------------------------------------------------
-# Fused curve group law.  A complete Jacobian add / mixed add / double is
-# ~20-40 field muls; through XLA each mul fragments into dozens of unfused
-# elementwise passes that round-trip HBM (measured ~20-40x off the ALU
-# roofline inside the MSM bucket scan).  These kernels run the whole group
-# formula from kzg_snark_tpu.ops.g1.CurveOps on VMEM tiles.  The kernel
-# bodies call back into CurveOps with a shimmed FieldBackend, so the
-# arithmetic is bit-identical to the XLA path.
+# Curve kernels (complete group law; see ops.regcurve).
 # ---------------------------------------------------------------------------
 
-def _curve_shim(modulus: int, p_vals, np_vals, one_vals):
-    from .g1 import CurveOps
-    return CurveOps(_shim(FieldBackend(modulus), p_vals, np_vals, one_vals))
+def _point_in(ref, L, r0, h):
+    from jax.experimental import pallas as pl
+    return ([ref[0, i, pl.ds(r0, h), :] for i in range(L)],
+            [ref[1, i, pl.ds(r0, h), :] for i in range(L)],
+            [ref[2, i, pl.ds(r0, h), :] for i in range(L)])
+
+
+def _point_out(ref, L, r0, h, P):
+    from jax.experimental import pallas as pl
+    X, Y, Z = P
+    for i in range(L):
+        ref[0, i, pl.ds(r0, h), :] = X[i]
+        ref[1, i, pl.ds(r0, h), :] = Y[i]
+        ref[2, i, pl.ds(r0, h), :] = Z[i]
 
 
 @functools.lru_cache(maxsize=None)
-def _add_call(modulus: int, L: int, n: int, tile: int,
-              interpret: bool = False):
+def _add_call(modulus: int, rows: int, S: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    be = FieldBackend(modulus)
+    curve = RegCurve(reg_field(modulus))
+    L = curve.f.L
 
-    def kernel(p_ref, q_ref, p_mod, np_mod, one_ref, o_ref):
-        curve = _curve_shim(modulus, p_mod[...], np_mod[...], one_ref[...])
-        o_ref[...] = curve.add_xla(p_ref[...], q_ref[...])
+    def kernel(p_ref, q_ref, o_ref):
+        def chunk(r0, h):
+            _point_out(o_ref, L, r0, h,
+                       curve.add(_point_in(p_ref, L, r0, h),
+                                 _point_in(q_ref, L, r0, h)))
+        _foreach_chunk(S, chunk)
 
-    spec = pl.BlockSpec((3, L, tile), lambda i: (0, 0, i),
+    spec = pl.BlockSpec((3, L, S, LANES), lambda i: (0, 0, i, 0),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(n // tile,),
-        in_specs=[spec, spec, cspec, cspec, cspec],
+        grid=(rows // S,),
+        in_specs=[spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((3, L, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((3, L, rows, LANES), jnp.uint32),
         interpret=interpret,
     )
 
-    def apply(p, q):
-        return call(p, q, be.p_limbs, be.n_prime_limbs, be.one_mont)
-
-    return apply
-
 
 @functools.lru_cache(maxsize=None)
-def _add_mixed_call(modulus: int, L: int, n: int, tile: int,
-                    interpret: bool = False):
+def _add_mixed_call(modulus: int, rows: int, S: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    be = FieldBackend(modulus)
+    curve = RegCurve(reg_field(modulus))
+    L = curve.f.L
 
-    def kernel(p_ref, qx_ref, qy_ref, p_mod, np_mod, one_ref, o_ref):
-        curve = _curve_shim(modulus, p_mod[...], np_mod[...], one_ref[...])
-        o_ref[...] = curve.add_mixed_xla(p_ref[...], qx_ref[...],
-                                         qy_ref[...])
+    def kernel(p_ref, qx_ref, qy_ref, o_ref):
+        def chunk(r0, h):
+            qx = [qx_ref[i, pl.ds(r0, h), :] for i in range(L)]
+            qy = [qy_ref[i, pl.ds(r0, h), :] for i in range(L)]
+            _point_out(o_ref, L, r0, h,
+                       curve.add_mixed(_point_in(p_ref, L, r0, h), qx, qy))
+        _foreach_chunk(S, chunk)
 
-    pspec = pl.BlockSpec((3, L, tile), lambda i: (0, 0, i),
+    pspec = pl.BlockSpec((3, L, S, LANES), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM)
-    qspec = pl.BlockSpec((L, tile), lambda i: (0, i),
+    qspec = pl.BlockSpec((L, S, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(n // tile,),
-        in_specs=[pspec, qspec, qspec, cspec, cspec, cspec],
+        grid=(rows // S,),
+        in_specs=[pspec, qspec, qspec],
         out_specs=pspec,
-        out_shape=jax.ShapeDtypeStruct((3, L, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((3, L, rows, LANES), jnp.uint32),
         interpret=interpret,
     )
-
-    def apply(p, qx, qy):
-        return call(p, qx, qy, be.p_limbs, be.n_prime_limbs, be.one_mont)
-
-    return apply
 
 
 @functools.lru_cache(maxsize=None)
-def _double_call(modulus: int, L: int, n: int, tile: int,
-                 interpret: bool = False):
+def _double_call(modulus: int, rows: int, S: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    be = FieldBackend(modulus)
+    curve = RegCurve(reg_field(modulus))
+    L = curve.f.L
 
-    def kernel(p_ref, p_mod, np_mod, one_ref, o_ref):
-        curve = _curve_shim(modulus, p_mod[...], np_mod[...], one_ref[...])
-        o_ref[...] = curve.double_xla(p_ref[...])
+    def kernel(p_ref, o_ref):
+        def chunk(r0, h):
+            _point_out(o_ref, L, r0, h,
+                       curve.double(_point_in(p_ref, L, r0, h)))
+        _foreach_chunk(S, chunk)
 
-    spec = pl.BlockSpec((3, L, tile), lambda i: (0, 0, i),
+    spec = pl.BlockSpec((3, L, S, LANES), lambda i: (0, 0, i, 0),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(n // tile,),
-        in_specs=[spec, cspec, cspec, cspec],
+        grid=(rows // S,),
+        in_specs=[spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((3, L, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((3, L, rows, LANES), jnp.uint32),
         interpret=interpret,
     )
-
-    def apply(p):
-        return call(p, be.p_limbs, be.n_prime_limbs, be.one_mont)
-
-    return apply
 
 
 def _flat3(x: jax.Array):
-    """(3, L, ...batch) -> ((3, L, M), batch_shape)."""
-    return x.reshape(x.shape[0], x.shape[1], -1), x.shape[2:]
+    """(3, L, ...batch) -> (3, L, M)."""
+    return x.reshape(x.shape[0], x.shape[1], -1)
 
 
 def fused_curve_add(curve, p: jax.Array, q: jax.Array) -> jax.Array:
@@ -276,13 +323,16 @@ def fused_curve_add(curve, p: jax.Array, q: jax.Array) -> jax.Array:
     path when the flat batch doesn't tile."""
     if p.shape != q.shape:
         return curve.add_xla(p, q)
-    pf, batch = _flat3(p)
+    pf = _flat3(p)
+    L = pf.shape[1]
     n = pf.shape[-1]
-    tile = _tile_for(n)
-    if tile == 0:
+    blk = _blockable(n, cap=64)
+    if not blk or blk[1] == 0:
         return curve.add_xla(p, q)
-    qf = q.reshape(pf.shape)
-    out = _add_call(curve.f.modulus, pf.shape[1], n, tile, _INTERPRET)(pf, qf)
+    rows, S = blk
+    call = _add_call(curve.f.modulus, rows, S, _INTERPRET)
+    out = call(pf.reshape(3, L, rows, LANES),
+               _flat3(q).reshape(3, L, rows, LANES))
     return out.reshape(p.shape)
 
 
@@ -292,23 +342,27 @@ def fused_curve_add_mixed(curve, p: jax.Array, qx: jax.Array,
     if qx.shape[1:] != batch:
         qx = jnp.broadcast_to(qx, (qx.shape[0],) + batch)
         qy = jnp.broadcast_to(qy, (qy.shape[0],) + batch)
-    pf, _ = _flat3(p)
+    pf = _flat3(p)
+    L = pf.shape[1]
     n = pf.shape[-1]
-    tile = _tile_for(n)
-    if tile == 0:
+    blk = _blockable(n, cap=64)
+    if not blk or blk[1] == 0:
         return curve.add_mixed_xla(p, qx, qy)
-    qxf = qx.reshape(qx.shape[0], -1)
-    qyf = qy.reshape(qy.shape[0], -1)
-    out = _add_mixed_call(curve.f.modulus, pf.shape[1], n, tile,
-                          _INTERPRET)(pf, qxf, qyf)
+    rows, S = blk
+    call = _add_mixed_call(curve.f.modulus, rows, S, _INTERPRET)
+    out = call(pf.reshape(3, L, rows, LANES),
+               qx.reshape(L, rows, LANES), qy.reshape(L, rows, LANES))
     return out.reshape(p.shape)
 
 
 def fused_curve_double(curve, p: jax.Array) -> jax.Array:
-    pf, _ = _flat3(p)
+    pf = _flat3(p)
+    L = pf.shape[1]
     n = pf.shape[-1]
-    tile = _tile_for(n)
-    if tile == 0:
+    blk = _blockable(n, cap=64)
+    if not blk or blk[1] == 0:
         return curve.double_xla(p)
-    out = _double_call(curve.f.modulus, pf.shape[1], n, tile, _INTERPRET)(pf)
+    rows, S = blk
+    call = _double_call(curve.f.modulus, rows, S, _INTERPRET)
+    out = call(pf.reshape(3, L, rows, LANES))
     return out.reshape(p.shape)
