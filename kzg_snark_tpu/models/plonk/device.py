@@ -426,6 +426,71 @@ class DeviceProver:
         const_col = be.add(acc[:, :1], be.scalar(int(constant)))
         return jnp.concatenate([const_col, acc[:, 1:]], axis=1)
 
+    def preprocess(self, qM, qL, qR, qO, qC, perm, max_degree: int,
+                   tau: int | None = None):
+        """Device-encoded indexing: same (ipk, ivk) contract and RNG draw
+        order as ``models/plonk/indexer.Indexer.preprocess`` (reference
+        plonk/indexer.py:26-120 / plonk/encoder.py:37-168), but the eight
+        index interpolations run as device iNTTs and the commitments as
+        device MSMs — indexing at n = 2^16 takes seconds, not minutes.
+        """
+        from ...ops.host.poly import Poly
+        kzg = self.kzg
+        Fq = kzg.Fq
+        ck, rk = kzg.setup(max_degree, tau=tau)
+
+        n = 1 << (len(qM) - 1).bit_length()
+        core = PlonkDeviceCore(kzg.curve_type, n)
+        be = core.be
+        g = Fq(core.g)
+
+        # Coset multipliers: identical rejection sampling / draw order to
+        # the host encoder (reference plonk/encoder.py:72-97).
+        while True:
+            k1 = self.rng.random_element(Fq)
+            k2 = self.rng.random_element(Fq)
+            if (k1 != 0 and k2 != 0 and k1 ** n != 1 and k2 ** n != 1
+                    and (k1 / k2) ** n != 1):
+                break
+
+        H = [Fq(1)]
+        for _ in range(n - 1):
+            H.append(H[-1] * g)
+        k1H = [k1 * h for h in H]
+        k2H = [k2 * h for h in H]
+        flat = H + k1H + k2H
+        sigma_star = [flat[perm[i]] for i in range(3 * n)]
+
+        def interp(values) -> Poly:
+            vals = be.from_ints([int(Fq(int(v))) for v in values]
+                                + [0] * (n - len(values)))
+            coeffs = be.to_ints(core.ntt_n.intt(vals))
+            return Poly(Fq, coeffs)
+
+        polys = {
+            "qM": interp(qM), "qL": interp(qL), "qR": interp(qR),
+            "qO": interp(qO), "qC": interp(qC),
+            "S_sigma1": interp(sigma_star[:n]),
+            "S_sigma2": interp(sigma_star[n:2 * n]),
+            "S_sigma3": interp(sigma_star[2 * n:]),
+        }
+        from .indexer import POLY_ORDER
+        commitments = dict(zip(
+            POLY_ORDER, kzg.commit(ck, [polys[p] for p in POLY_ORDER])))
+
+        subgroups_pk = {"H": H, "n": n, "g": g, "k1": k1, "k2": k2}
+        ipk = {
+            "ck": ck, "polynomials": polys, "commitments": commitments,
+            "subgroups": subgroups_pk,
+            "vanishing_poly": Poly.vanishing(Fq, n),
+            "sigma_star": sigma_star,
+        }
+        ivk = {
+            "rk": rk, "commitments": commitments,
+            "subgroups": {"n": n, "g": g, "k1": k1, "k2": k2},
+        }
+        return ipk, ivk
+
     def _open(self, ck, core, coeff_list, point: int, xi: int):
         """Batched opening: combined = sum xi^(i+1) p_i, witness by
         open_at, commit (reference kzg.py:122-159 semantics)."""

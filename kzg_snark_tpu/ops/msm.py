@@ -190,6 +190,9 @@ class MsmContext:
         self.scalar_backend = fr_backend(curve_type)
         self.window_bits = window_bits
         self.small_threshold = 256
+        # n >= fused_threshold uses the VMEM-bucket kernel
+        # (ops/msm_kernel.py) when fused kernels are enabled.
+        self.fused_threshold = 2048
 
     # ------------------------------------------------------------------
     def _choose_lanes(self, n: int) -> int:
@@ -243,6 +246,13 @@ class MsmContext:
         f = curve.f
         L = f.num_limbs
         n = points.shape[-1]
+
+        if n >= self.fused_threshold:
+            from .pallas_fr import curve_kernels_enabled, _INTERPRET
+            if curve_kernels_enabled():
+                from .msm_kernel import fused_msm
+                return fused_msm(self.curve_type).msm(
+                    points, scalars_limbs, interpret=_INTERPRET)
 
         if n <= self.small_threshold:
             # bits (16 Ls, N) -> (16*Ls, N) LSB-first

@@ -1,0 +1,449 @@
+"""Fused single-kernel Pippenger MSM: VMEM-resident bucket tables.
+
+This is the round-2 redesign of the MSM accumulation (replacing the
+``ops.msm`` lax.scan, whose gather/scatter on an HBM bucket table made XLA
+copy the whole table every step — measured 328us/step, ~100x the add cost).
+Design is driven by measured hardware facts (v5e via axon, see
+``scratch/probe*_r2.py``):
+
+* VPU sustains ~5.06e9 (8,128)-vreg instrs/s; an in-VMEM Montgomery modmul
+  costs ~8.2k vreg-instrs per 1024 elements => 634M modmuls/s ceiling.
+* XLA gather/scatter/sort are serialized (~25-200ms per 2^20 operation):
+  any design that moves 256-bit payloads through them is dead.
+* Mosaic has no per-lane scatter, and per-lane sublane gather only works
+  within one 8-row vreg.  The only fast routing primitive left is the
+  elementwise select — so buckets must be chosen by select *trees*.
+
+Structure (one ``pallas_call`` per pass of 8 windows):
+
+* Signed window digits, c = 7 bits => W = 37 windows for a 254-bit scalar,
+  processed in ceil(W/8) = 5 passes.  Digit magnitudes are in [0, 64]:
+  the bucket table is 65 vregs (+ trash bucket 0), and the whole table —
+  65 buckets x 48 limb-planes x (8 windows, 128 lanes) x 4B = 12.8 MB —
+  lives in VMEM for the entire pass.  c = 8 would need 129 vregs = 25.6 MB
+  > VMEM; c = 7 is the largest window the chip's VMEM admits.
+* Grid = point chunks of 8x128.  Each sub-step s processes point-row s:
+  one point per lane, its 8 window digits on the *sublane* axis — so a
+  (window, lane) cell is updated by at most one point per sub-step and
+  there are **no scatter collisions by construction**.
+* Bucket read: binary select-tree over the 65 bucket vregs (6 levels, ~63
+  selects per limb-plane, masks shared across planes).  Bucket write:
+  per-bucket masked stores (``pltpu.store(..., mask=)``).  Routing costs
+  ~10k vreg-instrs per 1024 point-window adds — ~10% of the mixed add.
+* The measured roofline this hits: a point costs W x (madd ~= 10.6
+  modmul-equiv) => ~37 x 11 x 8.2k/1024 ~= 3.3k vreg-instrs, i.e. ~1.4M
+  points/s/chip at 2^20.  The BASELINE 1e7 pts/s north star is *not
+  reachable* for 254-bit MSM on this VPU: it would need ~2.6G modmuls/s,
+  ~4x the entire vector unit.  (Reference being replaced:
+  /root/reference/kzg.py:112-117, a pure-Python double-and-add loop.)
+
+The per-lane/per-window partial buckets are reduced at the XLA level
+(fused curve kernels): lane halving tree, suffix-ladder weighted bucket
+sum, and a vectorized binary Horner fold over windows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fr import FieldBackend, LIMB_BITS
+from .g1 import CurveOps
+from .regcurve import RegCurve
+from .regfield import reg_field
+
+WINDOW_BITS = 7
+WINDOWS_PER_PASS = 8
+LANES = 128
+CHUNK = 8                      # points per lane per grid step
+
+
+def num_windows(bits: int) -> int:
+    return -(-bits // WINDOW_BITS)
+
+
+def signed_digits(be: FieldBackend, scalars_limbs: jax.Array,
+                  total_bits: int) -> jax.Array:
+    """Canonical 16-bit limbs (Ls, n) -> signed window digits (Wp, n) u32,
+    encoded mag | sign << 7 with mag in [0, 64].
+
+    Standard signed recoding: raw digits in [0, 127]; raw + carry >= 64
+    becomes raw + carry - 128 with carry 1 into the next window.  The top
+    window absorbs the final carry (scalars < 2^254 leave it 2 bits).
+    Wp = num_windows rounded up to a multiple of 8 (pass granularity);
+    pad windows are zero.
+    """
+    Ls, n = scalars_limbs.shape
+    W = num_windows(total_bits)
+    Wp = -(-W // WINDOWS_PER_PASS) * WINDOWS_PER_PASS
+    c = WINDOW_BITS
+    mask = jnp.uint32((1 << c) - 1)
+
+    # Raw c-bit windows across 16-bit limb boundaries.
+    raws = []
+    for w in range(W):
+        bit = c * w
+        limb, sh = bit >> 4, bit & 15
+        lo = scalars_limbs[limb] >> sh
+        if sh + c > LIMB_BITS and limb + 1 < Ls:
+            lo = lo | (scalars_limbs[limb + 1] << (LIMB_BITS - sh))
+        raws.append(lo & mask)
+    raw = jnp.stack(raws, axis=0)                      # (W, n)
+
+    def step(carry, r):
+        v = r + carry
+        flip = v >= 64
+        mag = jnp.where(flip, jnp.uint32(128) - v, v)
+        sign = flip.astype(jnp.uint32)
+        return sign, mag | (sign << 7)
+
+    _, enc = jax.lax.scan(step, jnp.zeros((n,), jnp.uint32), raw)
+    if Wp > W:
+        enc = jnp.concatenate(
+            [enc, jnp.zeros((Wp - W, n), jnp.uint32)], axis=0)
+    return enc
+
+
+# ---------------------------------------------------------------------------
+# The accumulation kernel.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _pass_call(modulus: int, chunks: int, interpret: bool = False):
+    """One 8-window pass over all points.
+
+    Inputs:  px, py  (L, chunks*8, 128)  Montgomery affine coords
+             digs    (chunks, 8, 8, 128) u32: [chunk, point-row, window, lane]
+    Output:  table   (65, 1, 3, L, 8, 128): bucket, reg, coord, limb,
+             window, lane.  (NREG = 1: a second accumulator register per
+             bucket would break the RMW chain between consecutive
+             sub-steps, but 65 x 2 x 48 x 4KB = 25.6 MB exceeds VMEM.)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rf = reg_field(modulus)
+    curve = RegCurve(rf)
+    L = rf.L
+    B = 65
+    NREG = 1
+
+    one = rf.one_limbs                 # Montgomery 1 as python ints
+
+    def kernel(px_ref, py_ref, dig_ref, t_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            like = px_ref[0, 0:CHUNK, :]
+            zero = jnp.zeros_like(like)
+            for b in range(B):
+                for g in range(NREG):
+                    for i in range(L):
+                        o = jnp.full_like(like, one[i])
+                        t_ref[b, g, 0, i] = o
+                        t_ref[b, g, 1, i] = o
+                        t_ref[b, g, 2, i] = zero
+
+        def sub_step(s, carry):
+            enc = dig_ref[0, s]                         # (8, 128) u32
+            mag = (enc & jnp.uint32(0x7F)).astype(jnp.int32)
+            sign = (enc >> 7) != 0
+            g = s % NREG
+
+            # Point row s broadcast across the 8 window sublanes.
+            qx = [jnp.broadcast_to(px_ref[i, pl.ds(s, 1), :],
+                                   (CHUNK, LANES)) for i in range(L)]
+            y = [jnp.broadcast_to(py_ref[i, pl.ds(s, 1), :],
+                                  (CHUNK, LANES)) for i in range(L)]
+            ny = rf.neg(y)
+            qy = rf.select(sign, ny, y)
+
+            # Gather cur = T[mag] : binary select tree over 64 + top.
+            bits = [(mag & (1 << k)) != 0 for k in range(6)]
+            top = mag >= 64
+
+            def tree(plane):
+                nodes = [t_ref[b, g, plane // L, plane % L]
+                         for b in range(64)]
+                for k in range(6):
+                    nodes = [jnp.where(bits[k], nodes[2 * j + 1],
+                                       nodes[2 * j])
+                             for j in range(len(nodes) // 2)]
+                return jnp.where(top, t_ref[64, g, plane // L, plane % L],
+                                 nodes[0])
+
+            X = [tree(i) for i in range(L)]
+            Y = [tree(L + i) for i in range(L)]
+            Z = [tree(2 * L + i) for i in range(L)]
+
+            nX, nY, nZ = curve.add_mixed((X, Y, Z), qx, qy)
+
+            # Scatter back: masked stores, one per bucket vreg.
+            for b in range(B):
+                hit = mag == b
+                for i in range(L):
+                    pltpu.store(t_ref.at[b, g, 0, i], nX[i], mask=hit)
+                    pltpu.store(t_ref.at[b, g, 1, i], nY[i], mask=hit)
+                    pltpu.store(t_ref.at[b, g, 2, i], nZ[i], mask=hit)
+            return carry
+
+        jax.lax.fori_loop(0, CHUNK, sub_step, 0)
+
+    pspec = pl.BlockSpec((L, CHUNK, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, CHUNK, WINDOWS_PER_PASS, LANES),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((B, NREG, 3, L, CHUNK, LANES),
+                         lambda i: (0, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(chunks,),
+        in_specs=[pspec, pspec, dspec],
+        out_specs=tspec,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, NREG, 3, L, CHUNK, LANES), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Plain-XLA reference of the pass semantics (CPU tests / non-TPU backends).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _pass_xla(curve_type: str):
+    """Semantics-identical jnp implementation of ``_pass_call``: same table
+    layout, same update order, so pallas-vs-reference equality on TPU plus
+    reference-vs-host-oracle equality on CPU validates the kernel."""
+    from .fr import fq_backend
+    curve = CurveOps(fq_backend(curve_type))
+    f = curve.f
+    L = f.num_limbs
+    B = 65
+
+    def run(px, py, digs):
+        # px/py (L, rows, 128); digs (chunks, 8, 8, 128)
+        rows = px.shape[1]
+        ident_x = jnp.broadcast_to(
+            f.one_mont.reshape(L, 1, 1), (L, CHUNK, LANES))
+        ident = jnp.stack([ident_x, ident_x, jnp.zeros_like(ident_x)], 0)
+        table0 = jnp.broadcast_to(ident[None], (B, 3, L, CHUNK, LANES))
+        bidx = jnp.arange(B, dtype=jnp.uint32)[:, None, None]
+
+        def row_step(table, inp):
+            pxr, pyr, enc = inp      # (L,128), (L,128), (8,128)
+            mag = enc & jnp.uint32(0x7F)
+            sign = (enc >> 7) != 0
+            qx = jnp.broadcast_to(pxr[:, None, :], (L, CHUNK, LANES))
+            y = jnp.broadcast_to(pyr[:, None, :], (L, CHUNK, LANES))
+            qy = f.select(sign, f.neg(y), y)
+            idx = jnp.broadcast_to(
+                mag[None, None, None].astype(jnp.int32),
+                (1, 3, L, CHUNK, LANES))
+            cur = jnp.take_along_axis(table, idx, axis=0)[0]
+            new = curve.add_mixed_xla(cur, qx, qy)
+            onehot = mag[None] == bidx
+            return jnp.where(onehot[:, None, None], new[None], table), None
+
+        xs = (jnp.moveaxis(px, 1, 0), jnp.moveaxis(py, 1, 0),
+              digs.reshape(rows, CHUNK, LANES))
+        table, _ = jax.lax.scan(row_step, table0, xs)
+        return table[:, None]        # (B, 1, 3, L, 8, 128) — NREG axis
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# XLA-level reduction of the pass tables.
+# ---------------------------------------------------------------------------
+
+def _tiled(op):
+    """Wrap a CurveOps binop/unop so its flat batch is padded to a
+    (8*128)-multiple with identity points before dispatch — keeps every
+    reduction step on the fused Pallas path (Mosaic rejects sub-8 sublane
+    blocks; unfused XLA fallbacks are ~20x slower and compile-heavy)."""
+    BLOCK = CHUNK * LANES
+
+    def call(*args):
+        a = args[0]
+        batch = a.shape[2:]
+        m = 1
+        for d in batch:
+            m *= d
+        pad = (-m) % BLOCK
+        if pad == 0:
+            return op(*args)
+        flat = [x.reshape(x.shape[0], x.shape[1], m) for x in args]
+        ident = jnp.zeros((3, a.shape[1], pad), jnp.uint32)
+        ident = ident.at[0].set(1).at[1].set(1)   # any non-curve filler;
+        # Z = 0 marks identity, X/Y values are never read for Z = 0 inputs
+        ext = [jnp.concatenate([x, ident], axis=2) for x in flat]
+        out = op(*ext)
+        return out[..., :m].reshape(a.shape)
+
+    return call
+
+
+def _reduce_tables(curve: CurveOps, tables: jax.Array, W: int) -> jax.Array:
+    """tables (P, 65, 2, 3, L, 8, 128) -> total (3, L, 1).
+
+    Steps: fold the 2 accumulator regs + 128 lanes (halving tree), weighted
+    bucket sum per window via an exclusive suffix ladder, then a vectorized
+    binary Horner fold over all P*8 windows (pad windows hold the identity
+    because their buckets were never touched... bucket 0 is dropped).
+    """
+    f = curve.f
+    add = _tiled(curve.add)
+    dbl = _tiled(curve.double)
+    P, B, NREG, _, L, wpp, lanes = tables.shape
+    # -> (3, L, P, 8, B, NREG*lanes)
+    t = jnp.transpose(tables, (3, 4, 0, 5, 1, 2, 6))
+    t = t.reshape(3, L, P, wpp, B, NREG * lanes)
+    # Lane fold: halving tree over the last axis.
+    n = NREG * lanes
+    while n > 1:
+        half = n // 2
+        t = add(t[..., :half], t[..., half:n])
+        n = half
+    buckets = t[..., 0]                                # (3, L, P, 8, B)
+
+    # Weighted sum over buckets: sum_{k>=1} k*B_k = sum_{j>=1} S_j,
+    # S_j = sum_{k>=j} B_k.  Hillis-Steele inclusive suffix ladder.
+    idx = jnp.arange(B)
+    steps = (B - 1).bit_length()
+    s = buckets
+
+    def ladder(k, s):
+        shift = 1 << k
+        rolled = jnp.roll(s, -shift, axis=-1)
+        rolled = jnp.where(idx < B - shift, rolled, 0)
+        return add(s, rolled)
+
+    s = jax.lax.fori_loop(0, steps, ladder, s)
+    # Drop the j = 0 term (trash bucket) and tree-sum the suffixes.
+    s = s.at[2, :, :, :, 0].set(0)
+    n = B
+    while n > 1:
+        if n % 2:
+            s = jnp.concatenate(
+                [s, jnp.zeros(s.shape[:-1] + (1,), jnp.uint32)], axis=-1)
+            n += 1
+        half = n // 2
+        s = add(s[..., :half], s[..., half:n])
+        n = half
+    wins = s[..., 0].reshape(3, L, P * wpp)[..., :W]   # (3, L, W)
+
+    # Horner fold over windows (top-down): acc = 2^c * acc + S_w.  One
+    # lax.scan whose small body is c doublings + one add at width 1 —
+    # compile-light (a single traced body) and only W * (c+1) narrow ops.
+    def fold(acc, s_w):
+        for _ in range(WINDOW_BITS):
+            acc = dbl(acc)
+        return add(acc, s_w[..., None]), None
+
+    acc0 = curve.identity((1,))
+    acc, _ = jax.lax.scan(fold, acc0, jnp.moveaxis(wins, -1, 0),
+                          reverse=True)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Public entry.
+# ---------------------------------------------------------------------------
+
+class FusedMsm:
+    """Large-N MSM over one curve's G1 via the VMEM bucket kernel."""
+
+    def __init__(self, curve_type: str = "bn254"):
+        from .fr import fq_backend, fr_backend
+        from .. import constants as C
+        self.curve_type = curve_type
+        self.curve = CurveOps(fq_backend(curve_type))
+        self.scalar_backend = fr_backend(curve_type)
+        self.total_bits = self.scalar_backend.modulus.bit_length()
+        gx, gy = (C.BN254_G1 if curve_type == "bn254" else C.BLS12_381_G1)
+        self._gen_affine = (gx, gy)
+
+    def prepare_points(self, points: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """(3, L, n) Jacobian-with-Z=1 -> padded (L, rows, 128) x/y planes.
+
+        Pads to a 1024-point multiple with the generator (digit padding is
+        zero => trash bucket).  The result can be cached per SRS.
+        """
+        L = self.curve.f.num_limbs
+        n = points.shape[-1]
+        block = CHUNK * LANES
+        npad = -(-n // block) * block
+        px, py = points[0], points[1]
+        if npad > n:
+            g = self.curve.from_affine_ints(
+                [self._gen_affine[0]], [self._gen_affine[1]])
+            px = jnp.concatenate(
+                [px, jnp.broadcast_to(g[0], (L, npad - n))], axis=-1)
+            py = jnp.concatenate(
+                [py, jnp.broadcast_to(g[1], (L, npad - n))], axis=-1)
+        return (px.reshape(L, npad // LANES, LANES),
+                py.reshape(L, npad // LANES, LANES))
+
+    def digits(self, scalars_limbs: jax.Array, npad: int) -> jax.Array:
+        """(Ls, n) canonical limbs -> (P, chunks, 8, 8, 128) pass digits."""
+        n = scalars_limbs.shape[-1]
+        enc = signed_digits(self.scalar_backend, scalars_limbs,
+                            self.total_bits)                 # (Wp, n)
+        Wp = enc.shape[0]
+        if npad > n:
+            enc = jnp.concatenate(
+                [enc, jnp.zeros((Wp, npad - n), jnp.uint32)], axis=-1)
+        P = Wp // WINDOWS_PER_PASS
+        chunks = npad // (CHUNK * LANES)
+        # (Wp, npad) -> [pass, window, chunk, row, lane] -> per-pass blocks
+        e = enc.reshape(P, WINDOWS_PER_PASS, chunks, CHUNK, LANES)
+        return jnp.transpose(e, (0, 2, 3, 1, 4))  # (P, chunks, 8, 8, 128)
+
+    def msm(self, points: jax.Array, scalars_limbs: jax.Array,
+            interpret: bool = False) -> jax.Array:
+        """sum_i scalars[i] * points[i] -> (3, L, 1) Jacobian."""
+        px, py = self.prepare_points(points)
+        return self.msm_prepared((px, py), scalars_limbs, interpret)
+
+    def msm_prepared(self, planes: tuple[jax.Array, jax.Array],
+                     scalars_limbs: jax.Array,
+                     interpret: bool = False,
+                     use_kernel: bool | None = None) -> jax.Array:
+        px, py = planes
+        chunks = px.shape[1] // CHUNK
+        if use_kernel is None:
+            use_kernel = jax.default_backend() not in ("cpu",)
+        # The whole pipeline (digits -> 5 pass kernels -> reduction) runs
+        # as ONE jitted computation: the axon tunnel costs ~25-45ms per
+        # python-level dispatch, and the unfused pipeline issues ~350 of
+        # them (measured 13.5s of pure dispatch at any size).
+        return self._jitted(chunks, use_kernel, interpret)(
+            px, py, scalars_limbs)
+
+    @functools.lru_cache(maxsize=None)
+    def _jitted(self, chunks: int, use_kernel: bool, interpret: bool):
+        W = num_windows(self.total_bits)
+        if use_kernel:
+            call = _pass_call(self.curve.f.modulus, chunks, interpret)
+        else:
+            call = _pass_xla(self.curve_type)
+
+        def run(px, py, scalars_limbs):
+            digs = self.digits(scalars_limbs, chunks * CHUNK * LANES)
+            P = digs.shape[0]
+            tables = jnp.stack([call(px, py, digs[p]) for p in range(P)],
+                               axis=0)
+            return _reduce_tables(self.curve, tables, W)   # (3, L, 1)
+
+        return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def fused_msm(curve_type: str = "bn254") -> FusedMsm:
+    return FusedMsm(curve_type)

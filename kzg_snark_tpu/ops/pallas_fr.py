@@ -67,9 +67,8 @@ def _block_rows(rows: int, cap: int) -> int:
     an in-kernel fori_loop over 8-row chunks — few grid steps, one-vreg
     temps, and a body compiled once."""
     if rows % CHUNK:
-        for s in (4, 2, 1):
-            if rows % s == 0:
-                return s
+        # Mosaic requires the sublane block dim to be a multiple of 8 (or
+        # the full array dim); sub-8 blocks are rejected — fall back to XLA.
         return 0
     blk = min(rows, cap)
     while rows % blk:
