@@ -177,15 +177,103 @@ class PlonkDeviceCore:
                           be.scalar(z_inv))                # z^{-(j+1)}
         return be.mul(suffix, inv_pows)[:, :m - 1]
 
+    # ------------------------------------------------------------------
+    # Device-scalar variants (jitted round kernels).  The axon device
+    # tunnel costs ~25-45ms per python-level dispatch; at n = 2^16 a
+    # prove() issues hundreds of ops, so each round runs as ONE jitted
+    # call with challenges passed as (L, 1) Montgomery device scalars.
+    # ------------------------------------------------------------------
+    def powers_dev(self, z_scalar: jax.Array, count: int) -> jax.Array:
+        """[1, z, ..., z^(count-1)] (L, count) from a (L, 1) scalar:
+        exclusive prefix-product of the constant-z vector."""
+        be = self.be
+        zbc = jnp.broadcast_to(z_scalar, (be.num_limbs, count))
+        return be.exclusive_prefix_prod(zbc)
+
+    def eval_dev(self, coeffs: jax.Array, z_scalar: jax.Array) -> jax.Array:
+        be = self.be
+        return be.sum_reduce(be.mul(coeffs, self.powers_dev(
+            z_scalar, coeffs.shape[1])))
+
+    def open_dev(self, coeffs: jax.Array, z_scalar: jax.Array) -> jax.Array:
+        be = self.be
+        m = coeffs.shape[1]
+        u = be.mul(coeffs, self.powers_dev(z_scalar, m))
+        suffix = be.suffix_sums_exclusive(u)
+        z_inv = be.inv(z_scalar)
+        inv_pows = be.mul(self.powers_dev(z_inv, m), z_inv)
+        return be.mul(suffix, inv_pows)[:, :m - 1]
+
+    def combine_weighted(self, arrays: list, weights: jax.Array
+                         ) -> jax.Array:
+        """sum_i weights[i] * arrays[i], arrays zero-padded to the longest;
+        weights (k, L, 1) Montgomery scalars."""
+        be = self.be
+        L = be.num_limbs
+        max_len = max(a.shape[1] for a in arrays)
+        acc = jnp.zeros((L, max_len), jnp.uint32)
+        for i, arr in enumerate(arrays):
+            m = arr.shape[1]
+            if m < max_len:
+                arr = jnp.concatenate(
+                    [arr, jnp.zeros((L, max_len - m), jnp.uint32)], axis=1)
+            acc = be.add(acc, be.mul(arr, weights[i]))
+        return acc
+
+    def round3(self, a_poly, b_poly, c_poly, z_poly, pi_coeffs,
+               qM4, qL4, qR4, qO4, qC4, s14, s24, s34,
+               alpha, beta, gamma, k1, k2, b10, b11):
+        """Quotient + split as one traced computation: coset evaluation of
+        the wire/z/PI polynomials, pointwise quotient, iNTT back, and the
+        t_lo/t_mid/t_hi split with cross-blinding (reference
+        plonk/prover.py:271-356)."""
+        be = self.be
+        n = self.n
+        to4 = self.to_coset_evals
+        t_coeffs = self.quotient_coeffs(
+            to4(a_poly), to4(b_poly), to4(c_poly), to4(z_poly),
+            qM4, qL4, qR4, qO4, qC4, s14, s24, s34, to4(pi_coeffs),
+            alpha, beta, gamma, k1, k2)
+        t_lo = jnp.concatenate([t_coeffs[:, :n], b10], axis=1)
+        t_mid_first = be.sub(t_coeffs[:, n:n + 1], b10)
+        t_mid = jnp.concatenate(
+            [t_mid_first, t_coeffs[:, n + 1:2 * n], b11], axis=1)
+        t_hi_first = be.sub(t_coeffs[:, 2 * n:2 * n + 1], b11)
+        t_hi = jnp.concatenate(
+            [t_hi_first, t_coeffs[:, 2 * n + 1:3 * n + 6]], axis=1)
+        return t_lo, t_mid, t_hi
+
+    def jit_method(self, name: str):
+        """Cached jax.jit of a bound method (one compiled program per
+        argument-shape set; challenges ride as device scalars)."""
+        key = "_jit_" + name
+        if not hasattr(self, key):
+            setattr(self, key, jax.jit(getattr(self, name)))
+        return getattr(self, key)
+
 
 class DeviceProver:
     """PLONK prover with device compute; drop-in for the host Prover when
     ``backend='tpu'`` (same prove() contract, transcript, and proof dict)."""
 
-    def __init__(self, curve_type: str = "bn254", rng: Rng | None = None):
+    def __init__(self, curve_type: str = "bn254", rng: Rng | None = None,
+                 collect_timings: bool = False):
         from ..kzg import KZG
         self.kzg = KZG(curve_type=curve_type, backend="tpu", rng=rng)
         self.rng = self.kzg.rng
+        self.collect_timings = collect_timings
+        self.timings: dict[str, float] = {}
+
+    def _phase(self, name: str, t0: float) -> float:
+        """Record elapsed wall time for a prover phase (SURVEY.md §5
+        metrics row); returns a fresh timestamp.  Timing forces a device
+        sync only when enabled."""
+        import time
+        if self.collect_timings:
+            t = time.perf_counter()
+            self.timings[name] = self.timings.get(name, 0.0) + (t - t0)
+            return t
+        return t0
 
     # -- helpers --------------------------------------------------------
     def _commit_coeffs(self, ck: DeviceSRS, coeffs_mont: jax.Array):
@@ -193,7 +281,13 @@ class DeviceProver:
         ctx = msm_context(self.kzg.curve_type)
         be = ctx.scalar_backend
         m = coeffs_mont.shape[1]
-        pts = ck.slice_pow2(m)
+        if m >= ctx.fused_threshold:
+            # exact-length slice: the fused kernel pads to a 1024-multiple
+            # internally, so nearby commit sizes share one compiled kernel
+            # (slice_pow2 would double the MSM size at n+epsilon lengths)
+            pts = ck.points[..., :m]
+        else:
+            pts = ck.slice_pow2(m)
         n = pts.shape[-1]
         canonical = be.from_mont(coeffs_mont)
         if n > m:
@@ -220,12 +314,16 @@ class DeviceProver:
         k2 = ipk["subgroups"]["k2"]
         sigma_star = ipk["sigma_star"]
 
+        import time
+        self.timings = {}
+        t0 = time.perf_counter()
         core = PlonkDeviceCore(kzg.curve_type, n)
         be = core.be
         assert int(g) == core.g, \
             "ipk domain generator differs from the deterministic device domain"
 
         dev = self._device_index_polys(ipk, core)
+        t0 = self._phase("setup", t0)
 
         transcript = Transcript("plonk-proof", Fq)
         transcript.append_message("public-inputs", list(x))
@@ -258,57 +356,58 @@ class DeviceProver:
         b_vals = be.from_ints(full_witness[n:2 * n])
         c_vals = be.from_ints(full_witness[2 * n:3 * n])
 
-        a_poly = core.wire_poly(a_vals, sc(b1), sc(b2))
-        b_poly = core.wire_poly(b_vals, sc(b3), sc(b4))
-        c_poly = core.wire_poly(c_vals, sc(b5), sc(b6))
+        j_wire = core.jit_method("wire_poly")
+        a_poly = j_wire(a_vals, sc(b1), sc(b2))
+        b_poly = j_wire(b_vals, sc(b3), sc(b4))
+        c_poly = j_wire(c_vals, sc(b5), sc(b6))
 
+        t0 = self._phase("round1_wires", t0)
         a_commit = self._commit_coeffs(ck, a_poly)
         b_commit = self._commit_coeffs(ck, b_poly)
         c_commit = self._commit_coeffs(ck, c_poly)
         wire_commitments = [a_commit, b_commit, c_commit]
         transcript.append_message("round1-commitments", wire_commitments)
+        t0 = self._phase("round1_commits_msm", t0)
 
         # ----- Round 2 -----
         beta = transcript.get_challenge("beta")
         gamma = transcript.get_challenge("gamma")
 
-        z_poly = core.z_poly(a_vals, b_vals, c_vals,
-                             dev["sig1_vals"], dev["sig2_vals"], dev["sig3_vals"],
-                             sc(beta), sc(gamma), sc(k1), sc(k2),
-                             sc(b7), sc(b8), sc(b9))
+        z_poly = core.jit_method("z_poly")(
+            a_vals, b_vals, c_vals,
+            dev["sig1_vals"], dev["sig2_vals"], dev["sig3_vals"],
+            sc(beta), sc(gamma), sc(k1), sc(k2),
+            sc(b7), sc(b8), sc(b9))
+        t0 = self._phase("round2_grand_product", t0)
         z_commit = self._commit_coeffs(ck, z_poly)
         transcript.append_message("round2-commitment", z_commit)
+        t0 = self._phase("round2_commit_msm", t0)
 
         # ----- Round 3 -----
         alpha = transcript.get_challenge("alpha")
 
-        to4 = core.to_coset_evals
-        t_coeffs = core.quotient_coeffs(
-            to4(a_poly), to4(b_poly), to4(c_poly), to4(z_poly),
-            dev["qM4"], dev["qL4"], dev["qR4"], dev["qO4"], dev["qC4"],
-            dev["s14"], dev["s24"], dev["s34"], to4(pi_coeffs),
-            sc(alpha), sc(beta), sc(gamma), sc(k1), sc(k2))
-
         b10 = self.rng.random_element(Fq)
         b11 = self.rng.random_element(Fq)
-        t_lo = jnp.concatenate([t_coeffs[:, :n], sc(b10)], axis=1)
-        t_mid_first = be.sub(t_coeffs[:, n:n + 1], sc(b10))
-        t_mid = jnp.concatenate([t_mid_first, t_coeffs[:, n + 1:2 * n],
-                                 sc(b11)], axis=1)
-        t_hi_first = be.sub(t_coeffs[:, 2 * n:2 * n + 1], sc(b11))
-        t_hi = jnp.concatenate([t_hi_first, t_coeffs[:, 2 * n + 1:3 * n + 6]],
-                               axis=1)
+        t_lo, t_mid, t_hi = core.jit_method("round3")(
+            a_poly, b_poly, c_poly, z_poly, pi_coeffs,
+            dev["qM4"], dev["qL4"], dev["qR4"], dev["qO4"], dev["qC4"],
+            dev["s14"], dev["s24"], dev["s34"],
+            sc(alpha), sc(beta), sc(gamma), sc(k1), sc(k2),
+            sc(b10), sc(b11))
 
+        t0 = self._phase("round3_quotient_ntt", t0)
         t_lo_commit = self._commit_coeffs(ck, t_lo)
         t_mid_commit = self._commit_coeffs(ck, t_mid)
         t_hi_commit = self._commit_coeffs(ck, t_hi)
         t_commitments = [t_lo_commit, t_mid_commit, t_hi_commit]
         transcript.append_message("round3-commitments", t_commitments)
+        t0 = self._phase("round3_commits_msm", t0)
 
         # ----- Round 4 -----
         zeta = transcript.get_challenge("zeta")
         zeta_i = int(zeta)
-        ev = lambda coeffs, pt: Fq(be.to_ints(core.eval_at(coeffs, pt))[0])
+        j_eval = core.jit_method("eval_dev")
+        ev = lambda coeffs, pt: Fq(be.to_ints(j_eval(coeffs, sc(pt)))[0])
         a_zeta = ev(a_poly, zeta_i)
         b_zeta = ev(b_poly, zeta_i)
         c_zeta = ev(c_poly, zeta_i)
@@ -319,6 +418,7 @@ class DeviceProver:
         evaluations = [a_zeta, b_zeta, c_zeta, s_sigma1_zeta, s_sigma2_zeta,
                        z_omega_zeta]
         transcript.append_message("round4-evaluations", evaluations)
+        t0 = self._phase("round4_evals", t0)
 
         # ----- Round 5 -----
         v = transcript.get_challenge("v")
@@ -333,6 +433,7 @@ class DeviceProver:
                                     dev["sig1_coeffs"], dev["sig2_coeffs"]],
                          zeta_i, int(v))
         W_zw = self._open(ck, core, [z_poly], int(zeta * Fq(int(g))), int(v))
+        t0 = self._phase("round5_openings", t0)
 
         return {
             "commitments": {
@@ -401,27 +502,16 @@ class DeviceProver:
         s_copy = alpha ** 2 * L1_zeta
         constant = (pi_zeta + s3_factor * (c_zeta + gamma) - s_copy)
 
-        terms = [
-            (dev["qM_coeffs"], s_gate_qM),
-            (dev["qL_coeffs"], a_zeta),
-            (dev["qR_coeffs"], b_zeta),
-            (dev["qO_coeffs"], c_zeta),
-            (dev["qC_coeffs"], Fq(1)),
-            (z_poly, s_perm_z + s_copy),
-            (dev["sig3_coeffs"], s3_factor * beta),
-            (t_lo, -z_H_zeta),
-            (t_mid, -z_H_zeta * zeta ** n),
-            (t_hi, -z_H_zeta * zeta ** (2 * n)),
-        ]
-        L = be.num_limbs
-        max_len = max(arr.shape[1] for arr, _ in terms)
-        acc = jnp.zeros((L, max_len), jnp.uint32)
-        for arr, weight in terms:
-            m = arr.shape[1]
-            if m < max_len:
-                arr = jnp.concatenate(
-                    [arr, jnp.zeros((L, max_len - m), jnp.uint32)], axis=1)
-            acc = be.add(acc, be.mul(arr, be.scalar(int(weight))))
+        arrays = [dev["qM_coeffs"], dev["qL_coeffs"], dev["qR_coeffs"],
+                  dev["qO_coeffs"], dev["qC_coeffs"], z_poly,
+                  dev["sig3_coeffs"], t_lo, t_mid, t_hi]
+        weight_ints = [s_gate_qM, a_zeta, b_zeta, c_zeta, Fq(1),
+                       s_perm_z + s_copy, s3_factor * beta,
+                       -z_H_zeta, -z_H_zeta * zeta ** n,
+                       -z_H_zeta * zeta ** (2 * n)]
+        weights = be.from_ints([int(v) for v in weight_ints])
+        weights = jnp.moveaxis(weights, 1, 0)[:, :, None]   # (k, L, 1)
+        acc = core.jit_method("combine_weighted")(arrays, weights)
         # + constant at coefficient 0
         const_col = be.add(acc[:, :1], be.scalar(int(constant)))
         return jnp.concatenate([const_col, acc[:, 1:]], axis=1)
@@ -492,19 +582,15 @@ class DeviceProver:
         return ipk, ivk
 
     def _open(self, ck, core, coeff_list, point: int, xi: int):
-        """Batched opening: combined = sum xi^(i+1) p_i, witness by
-        open_at, commit (reference kzg.py:122-159 semantics)."""
+        """Batched opening: combined = sum xi^(i+1) p_i, witness by the
+        suffix-scan opening, commit (reference kzg.py:122-159 semantics).
+        One jitted combine + one jitted open per call."""
         be = core.be
         Fq = self.kzg.Fq
-        max_len = max(c.shape[1] for c in coeff_list)
-        L = be.num_limbs
-        acc = jnp.zeros((L, max_len), jnp.uint32)
         xi_f = Fq(xi)
-        for i, coeffs in enumerate(coeff_list):
-            m = coeffs.shape[1]
-            if m < max_len:
-                coeffs = jnp.concatenate(
-                    [coeffs, jnp.zeros((L, max_len - m), jnp.uint32)], axis=1)
-            acc = be.add(acc, be.mul(coeffs, be.scalar(int(xi_f ** (i + 1)))))
-        witness = core.open_at(acc, point)
+        weights = be.from_ints(
+            [int(xi_f ** (i + 1)) for i in range(len(coeff_list))])
+        weights = jnp.moveaxis(weights, 1, 0)[:, :, None]
+        acc = core.jit_method("combine_weighted")(coeff_list, weights)
+        witness = core.jit_method("open_dev")(acc, be.scalar(point % be.modulus))
         return self._commit_coeffs(ck, witness)

@@ -478,15 +478,65 @@ class FieldBackend:
         return self._mont_reduce(widened)
 
 
+class CheckedFieldBackend(FieldBackend):
+    """Debug variant (SURVEY.md §5 sanitizers): every public ring op
+    validates its output on host — limbs must be 16-bit clean and the
+    value canonical (< p).  A silent limb overflow or missed conditional
+    subtraction, which in production only surfaces as a wrong proof far
+    downstream, traps here at the op that produced it.
+
+    Enabled via ``KZG_TPU_CHECKED=1`` (fr_backend/fq_backend return this
+    class) or by constructing it directly in tests.  Host-syncs per op —
+    debug/CI only.
+    """
+
+    _CACHE: dict = {}
+
+    def validate(self, x, op: str):
+        import numpy as np
+        from jax import core as jcore
+        if isinstance(x, jcore.Tracer):
+            # Inside jit/pallas traces values are abstract; checked mode
+            # validates only the eager paths (tests run ops eagerly).
+            return x
+        mat = np.asarray(jax.device_get(x))
+        flat = mat.reshape(self.num_limbs, -1)
+        assert (flat <= LIMB_MASK).all(), f"{op}: limb overflow (>16 bits)"
+        for j in range(flat.shape[1]):
+            v = _limbs_to_int(flat[:, j])
+            assert v < self.modulus, \
+                f"{op}: non-canonical output {v} >= p at column {j}"
+        return x
+
+    def add(self, a, b):
+        return self.validate(super().add(a, b), "add")
+
+    def sub(self, a, b):
+        return self.validate(super().sub(a, b), "sub")
+
+    def mul(self, a, b):
+        return self.validate(super().mul(a, b), "mul")
+
+    def square(self, a):
+        return self.validate(super().square(a), "square")
+
+
+def _checked() -> bool:
+    import os
+    return os.environ.get("KZG_TPU_CHECKED", "0") in ("1", "true", "on")
+
+
 @functools.lru_cache(maxsize=None)
 def fr_backend(curve_type: str = "bn254") -> FieldBackend:
     from .. import constants as C
     modulus = C.BN254_R if curve_type == "bn254" else C.BLS12_381_R
-    return FieldBackend(modulus)
+    cls = CheckedFieldBackend if _checked() else FieldBackend
+    return cls(modulus)
 
 
 @functools.lru_cache(maxsize=None)
 def fq_backend(curve_type: str = "bn254") -> FieldBackend:
     from .. import constants as C
     modulus = C.BN254_P if curve_type == "bn254" else C.BLS12_381_P
-    return FieldBackend(modulus)
+    cls = CheckedFieldBackend if _checked() else FieldBackend
+    return cls(modulus)

@@ -141,27 +141,49 @@ def setup_g1_powers(kzg, tau: int, max_degree: int,
         acc = (acc * tau) % r
         powers[i] = acc
 
-    # Window digits (W, N) over the *scalar* field width.
+    # Window digits (W, N) over the *scalar* field width, extracted
+    # vectorized from the bytes of each power (python per-digit loops cost
+    # ~a minute at n = 2^20).
     c = window_bits
     num_windows = -(-r.bit_length() // c)
+    from .fr import ints_to_limb_array
+    limbs = ints_to_limb_array(powers, -(-r.bit_length() // 16))  # (Ls, N)
     dig = np.zeros((num_windows, n), dtype=np.uint32)
     mask = (1 << c) - 1
-    for i, s in enumerate(powers):
-        for j in range(num_windows):
-            dig[j, i] = (s >> (c * j)) & mask
+    for j in range(num_windows):
+        bit = c * j
+        li, sh = bit >> 4, bit & 15
+        v = limbs[li] >> sh
+        if sh + c > 16 and li + 1 < limbs.shape[0]:
+            v = v | (limbs[li + 1] << (16 - sh))
+        dig[j] = v & mask
 
     g1 = kzg.G1
     base = curve.from_affine_ints([int(g1[0])], [int(g1[1])])
     table = _fixed_base_table(curve, base, c, num_windows)
-    pts = _fixed_base_msm(curve, table, jnp.asarray(dig))
 
-    # Normalize to Z = 1 so commits can assume affine inputs.
+    # Chunked evaluation: widths beyond ~2^16 have faulted the TPU worker
+    # (giant scan carries + serialized gathers); 2^16-point chunks reuse
+    # one compiled program and are individually proven.
+    CHUNK_N = 1 << 16
     f = curve.f
-    X, Y, Z = pts[0], pts[1], pts[2]
-    zinv = f.inv(Z)
-    zinv2 = f.mul(zinv, zinv)
-    ax = f.mul(X, zinv2)
-    ay = f.mul(Y, f.mul(zinv2, zinv))
-    ones = jnp.broadcast_to(f.one_mont, ax.shape)
-    normalized = jnp.stack([ax, ay, ones], axis=0)
+    parts = []
+    for lo in range(0, n, CHUNK_N):
+        hi = min(lo + CHUNK_N, n)
+        block = jnp.asarray(dig[:, lo:hi])
+        if hi - lo < CHUNK_N and n > CHUNK_N:
+            block = jnp.concatenate(
+                [block, jnp.zeros((num_windows, CHUNK_N - (hi - lo)),
+                                  jnp.uint32)], axis=1)
+        pts = _fixed_base_msm(curve, table, block)[..., :hi - lo]
+        # Normalize to Z = 1 so commits can assume affine inputs.
+        X, Y, Z = pts[0], pts[1], pts[2]
+        zinv = f.inv(Z)
+        zinv2 = f.mul(zinv, zinv)
+        ax = f.mul(X, zinv2)
+        ay = f.mul(Y, f.mul(zinv2, zinv))
+        ones = jnp.broadcast_to(f.one_mont, ax.shape)
+        parts.append(jnp.stack([ax, ay, ones], axis=0))
+    normalized = parts[0] if len(parts) == 1 else jnp.concatenate(
+        parts, axis=-1)
     return DeviceSRS(kzg.curve_type, normalized)

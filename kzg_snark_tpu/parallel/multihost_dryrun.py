@@ -1,0 +1,111 @@
+"""Two-process CPU dryrun of the multi-host path.
+
+Run as a worker (one per simulated host):
+
+    python -m kzg_snark_tpu.parallel.multihost_dryrun <pid> <nprocs> <port>
+
+Each worker owns 4 simulated CPU devices; jax.distributed (gloo CPU
+collectives) joins them into one 8-device global mesh shaped
+(host=nprocs, chip=4).  The workload: a 2^14-point G1 MSM sharded over
+both axes with hierarchical (ICI-then-DCN) combining, checked against the
+host oracle.  Exit code 0 on every worker = pass.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def worker(pid: int, nprocs: int, port: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=4").strip()
+
+    from ..utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from .multihost import initialize_multihost, make_mesh2, msm_multihost
+    from ..ops.msm_kernel import fused_msm
+    from ..ops.fr import ints_to_limb_array
+    from ..ops.host import curve as pc
+    from ..ops.host.field import base_field
+    from .. import constants as C
+
+    initialize_multihost(f"127.0.0.1:{port}", nprocs, pid)
+    assert jax.process_count() == nprocs
+    mesh = make_mesh2()
+    assert mesh.devices.shape == (nprocs, 8 // nprocs)
+
+    rng = random.Random(99)
+    r = C.BN254_R
+    N = 1 << 13
+    fm = fused_msm("bn254")
+    g = fm.curve.from_affine_ints([C.BN254_G1[0]], [C.BN254_G1[1]])
+    pts = jnp.broadcast_to(g, (3, 16, N))
+    scalars = [rng.randrange(r) for _ in range(N)]
+    limbs = jnp.asarray(ints_to_limb_array(scalars, 16))
+
+    out = msm_multihost(mesh, pts, limbs, impl="small")
+    got = fm.curve.to_affine_ints(out)[0]
+
+    Fp = base_field("bn254")
+    G = (Fp(C.BN254_G1[0]), Fp(C.BN254_G1[1]), Fp(1))
+    want = pc.normalize(pc.multiply(G, sum(scalars) % r))
+    assert got == (int(want[0]), int(want[1])), \
+        f"multihost MSM mismatch on pid {pid}"
+    print(f"multihost dryrun pid={pid}: MSM over mesh "
+          f"{dict(zip(mesh.axis_names, mesh.devices.shape))} OK", flush=True)
+    # Barrier before exit: the coordinator lives in pid 0 — if it exits
+    # while another worker is still compiling, that worker dies with a
+    # "coordination service unavailable" fatal.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("dryrun-done")
+
+
+def launch(nprocs: int = 2, port: int = 49731, timeout: int = 1800) -> None:
+    """Spawn the workers and wait (orchestrator; used by tests and
+    __graft_entry__.dryrun_multihost)."""
+    import subprocess
+    procs = []
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    for pid in range(nprocs):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m",
+             "kzg_snark_tpu.parallel.multihost_dryrun",
+             str(pid), str(nprocs), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    rc = 0
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            rc = 1
+        outs.append(out)
+        rc |= p.returncode or 0
+    if rc:
+        raise RuntimeError("multihost dryrun failed:\n" +
+                           "\n".join(o[-2000:] for o in outs))
+    for o in outs:
+        for line in o.splitlines():
+            if "multihost dryrun" in line:
+                print(line)
+
+
+if __name__ == "__main__":
+    worker(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
