@@ -247,7 +247,10 @@ class MsmContext:
         L = f.num_limbs
         n = points.shape[-1]
 
-        if n >= self.fused_threshold:
+        # Fused VMEM-bucket kernel: BN254 only for now — the 65-bucket
+        # Jacobian table is 12.8 MB at L=16 limbs; BLS12-381's L=24 would
+        # need 19.2 MB > VMEM (a c=6/B=33 variant fits; future work).
+        if n >= self.fused_threshold and self.curve_type == "bn254":
             from .pallas_fr import curve_kernels_enabled, _INTERPRET
             if curve_kernels_enabled():
                 from .msm_kernel import fused_msm

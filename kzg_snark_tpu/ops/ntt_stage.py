@@ -137,6 +137,123 @@ def _local_stage_call(modulus: int, rows: int, span: int, blk: int,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _local_pair_call(modulus: int, rows: int, span: int, blk: int,
+                     interpret: bool = False):
+    """TWO fused local stages (spans ``span`` and ``2*span``, both < 1024):
+    one read + one write of the coefficient array for two butterfly
+    levels.  tw_a (L, 8, 128) period 2*span; tw_b (L, 8, 128) period
+    4*span <= 1024 (what makes the fusion tile-local)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental.pallas import tpu as _tpu
+
+    rf = reg_field(modulus)
+    L = rf.L
+
+    def level(x, upper, sp, tw):
+        sp_rows = sp // LANES
+        if sp_rows:
+            fwd = [_tpu.roll(v, sp_rows, 0) for v in x]
+            bwd = [_tpu.roll(v, -sp_rows % CHUNK, 0) for v in x]
+        else:
+            fwd = [_tpu.roll(v, sp, 1) for v in x]
+            bwd = [_tpu.roll(v, -sp % LANES, 1) for v in x]
+        lo = rf.select(upper, fwd, x)
+        hi = rf.select(upper, x, bwd)
+        out_lo, out_hi = _butterfly_regs(rf, lo, hi, tw)
+        return rf.select(upper, out_hi, out_lo)
+
+    def kernel(x_ref, twa_ref, twb_ref, o_ref):
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, (CHUNK, LANES), 0)
+                * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, (CHUNK, LANES), 1))
+        upper_a = (flat & span) != 0
+        upper_b = (flat & (2 * span)) != 0
+        twa = [twa_ref[i] for i in range(L)]
+        twb = [twb_ref[i] for i in range(L)]
+
+        def chunk(c, carry):
+            r0 = pl.multiple_of(c * CHUNK, CHUNK)
+            x = [x_ref[i, pl.ds(r0, CHUNK), :] for i in range(L)]
+            y = level(x, upper_a, span, twa)
+            z = level(y, upper_b, 2 * span, twb)
+            for i in range(L):
+                o_ref[i, pl.ds(r0, CHUNK), :] = z[i]
+            return carry
+
+        jax.lax.fori_loop(0, blk // CHUNK, chunk, 0)
+
+    xspec = pl.BlockSpec((L, blk, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    twspec = pl.BlockSpec((L, CHUNK, LANES), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // blk,),
+        in_specs=[xspec, twspec, twspec],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((L, rows, LANES), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _paired_pair_call(modulus: int, groups: int, span_rows: int,
+                      Gb: int, S: int, interpret: bool = False):
+    """TWO fused paired stages (spans s and 2s, s >= 1024 elements = 8+
+    rows): x (L, groups, 4, span_rows, LANES); tw_a (L, span_rows, LANES);
+    tw_b (L, 2, span_rows, LANES) (the two halves of the 2s-period
+    pattern).  One read + one write for two levels."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rf = reg_field(modulus)
+    L = rf.L
+
+    def kernel(x_ref, twa_ref, twb_ref, o_ref):
+        def chunk(idx, carry):
+            g = idx // (S // CHUNK)
+            c = idx % (S // CHUNK)
+            r0 = pl.multiple_of(c * CHUNK, CHUNK)
+            xs = [[x_ref[i, g, q, pl.ds(r0, CHUNK), :] for i in range(L)]
+                  for q in range(4)]
+            twa = [twa_ref[i, pl.ds(r0, CHUNK), :] for i in range(L)]
+            tb0 = [twb_ref[i, 0, pl.ds(r0, CHUNK), :] for i in range(L)]
+            tb1 = [twb_ref[i, 1, pl.ds(r0, CHUNK), :] for i in range(L)]
+            # level A: (x0,x1), (x2,x3) with tw_a
+            y0, y1 = _butterfly_regs(rf, xs[0], xs[1], twa)
+            y2, y3 = _butterfly_regs(rf, xs[2], xs[3], twa)
+            # level B: (y0,y2) with tw_b[0], (y1,y3) with tw_b[1]
+            z0, z2 = _butterfly_regs(rf, y0, y2, tb0)
+            z1, z3 = _butterfly_regs(rf, y1, y3, tb1)
+            for i in range(L):
+                o_ref[i, g, 0, pl.ds(r0, CHUNK), :] = z0[i]
+                o_ref[i, g, 1, pl.ds(r0, CHUNK), :] = z1[i]
+                o_ref[i, g, 2, pl.ds(r0, CHUNK), :] = z2[i]
+                o_ref[i, g, 3, pl.ds(r0, CHUNK), :] = z3[i]
+            return carry
+
+        jax.lax.fori_loop(0, Gb * (S // CHUNK), chunk, 0)
+
+    xspec = pl.BlockSpec((L, Gb, 4, S, LANES),
+                         lambda g, c: (0, g, 0, c, 0),
+                         memory_space=pltpu.VMEM)
+    taspec = pl.BlockSpec((L, S, LANES), lambda g, c: (0, c, 0),
+                          memory_space=pltpu.VMEM)
+    tbspec = pl.BlockSpec((L, 2, S, LANES), lambda g, c: (0, 0, c, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(groups // Gb, span_rows // S),
+        in_specs=[xspec, taspec, tbspec],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(
+            (L, groups, 4, span_rows, LANES), jnp.uint32),
+        interpret=interpret,
+    )
+
+
 class StagedNtt:
     """Stage-unrolled transform for one (modulus, n): one pallas call per
     stage with in-kernel pairing.  Requires n >= 2048 (rows multiple of
@@ -163,14 +280,47 @@ class StagedNtt:
 
     def transform(self, x_flat: jax.Array, table: jax.Array,
                   interpret: bool = False) -> jax.Array:
-        """x_flat (L, n) bit-reversed input -> transformed (L, n)."""
+        """x_flat (L, n) bit-reversed input -> transformed (L, n).
+
+        Stages are fused in PAIRS where both fit the same class (two local
+        spans < 512, or two block spans >= 1024 with 4*span <= n): one
+        read + one write of the array per two butterfly levels — half the
+        HBM passes and grid overhead of single-stage execution.
+        """
         L = x_flat.shape[0]
         rows = self.rows
+        n = self.n
         x = x_flat.reshape(L, rows, LANES)
         span = 1
-        while span < self.n:
-            tw = self._compact_tw(table, span)
-            if span >= 1024:
+        while span < n:
+            pair_local = span < 512 and 2 * span < 1024 and 4 * span <= n
+            pair_big = (span >= 1024 and 4 * span <= n)
+            if pair_local:
+                twa = self._compact_tw(table, span)
+                twb = self._compact_tw(table, 2 * span)
+                blk = min(rows, 256)
+                while rows % blk:
+                    blk //= 2
+                call = _local_pair_call(self.modulus, rows, span, blk,
+                                        interpret)
+                x = call(x, twa, twb)
+                span *= 4
+            elif pair_big:
+                span_rows = span // LANES
+                groups = rows // (4 * span_rows)
+                S = min(span_rows, 64)
+                Gb = max(1, min(groups, 64 // S))
+                twa = self._compact_tw(table, span)
+                stride2 = n // (4 * span)
+                twb = table[:, 0:2 * span * stride2:stride2].reshape(
+                    L, 2, span_rows, LANES)
+                call = _paired_pair_call(self.modulus, groups, span_rows,
+                                         Gb, S, interpret)
+                x6 = x.reshape(L, groups, 4, span_rows, LANES)
+                x = call(x6, twa, twb).reshape(L, rows, LANES)
+                span *= 4
+            elif span >= 1024:
+                tw = self._compact_tw(table, span)
                 span_rows = span // LANES
                 groups = rows // (2 * span_rows)
                 S = min(span_rows, 128)
@@ -179,12 +329,14 @@ class StagedNtt:
                                           Gb, S, interpret)
                 x5 = x.reshape(L, groups, 2, span_rows, LANES)
                 x = call(x5, tw).reshape(L, rows, LANES)
+                span *= 2
             else:
+                tw = self._compact_tw(table, span)
                 blk = min(rows, 256)
                 while rows % blk:
                     blk //= 2
                 call = _local_stage_call(self.modulus, rows, span, blk,
                                          interpret)
                 x = call(x, tw)
-            span *= 2
+                span *= 2
         return x.reshape(L, self.n)
