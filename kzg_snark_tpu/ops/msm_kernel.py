@@ -55,32 +55,42 @@ from .g1 import CurveOps
 from .regcurve import RegCurve
 from .regfield import reg_field
 
-WINDOW_BITS = 7
+WINDOW_BITS = 7                # bn254 default; see window_bits_for()
 WINDOWS_PER_PASS = 8
 LANES = 128
 CHUNK = 8                      # points per lane per grid step
 
 
-def num_windows(bits: int) -> int:
-    return -(-bits // WINDOW_BITS)
+def window_bits_for(num_limbs: int) -> int:
+    """Largest signed window whose bucket table fits VMEM: the table is
+    (2^(c-1)+1) buckets x 3 coords x L limb-planes x 4KB vregs.  L = 16
+    (254-bit bn254 Fq) admits c = 7 (65 x 48 x 4KB = 12.8MB); L = 24
+    (381-bit BLS12-381 Fq) needs c = 6 (33 x 72 x 4KB = 9.5MB) — c = 7
+    there would be 19.2MB, over the ~16MB scoped-VMEM limit (VERDICT.md
+    round-2 missing #6)."""
+    return 7 if num_limbs <= 16 else 6
+
+
+def num_windows(bits: int, c: int = WINDOW_BITS) -> int:
+    return -(-bits // c)
 
 
 def signed_digits(be: FieldBackend, scalars_limbs: jax.Array,
-                  total_bits: int) -> jax.Array:
+                  total_bits: int, c: int = WINDOW_BITS) -> jax.Array:
     """Canonical 16-bit limbs (Ls, n) -> signed window digits (Wp, n) u32,
-    encoded mag | sign << 7 with mag in [0, 64].
+    encoded mag | sign << 7 with mag in [0, 2^(c-1)] (c <= 7).
 
-    Standard signed recoding: raw digits in [0, 127]; raw + carry >= 64
-    becomes raw + carry - 128 with carry 1 into the next window.  The top
-    window absorbs the final carry (scalars < 2^254 leave it 2 bits).
-    Wp = num_windows rounded up to a multiple of 8 (pass granularity);
-    pad windows are zero.
+    Standard signed recoding: raw digits in [0, 2^c - 1]; raw + carry >=
+    2^(c-1) becomes raw + carry - 2^c with carry 1 into the next window.
+    The top window absorbs the final carry (scalars < 2^total_bits leave
+    it slack).  Wp = num_windows rounded up to a multiple of 8 (pass
+    granularity); pad windows are zero.
     """
     Ls, n = scalars_limbs.shape
-    W = num_windows(total_bits)
+    W = num_windows(total_bits, c)
     Wp = -(-W // WINDOWS_PER_PASS) * WINDOWS_PER_PASS
-    c = WINDOW_BITS
-    mask = jnp.uint32((1 << c) - 1)
+    half, full = 1 << (c - 1), 1 << c
+    mask = jnp.uint32(full - 1)
 
     # Raw c-bit windows across 16-bit limb boundaries.
     raws = []
@@ -95,8 +105,8 @@ def signed_digits(be: FieldBackend, scalars_limbs: jax.Array,
 
     def step(carry, r):
         v = r + carry
-        flip = v >= 64
-        mag = jnp.where(flip, jnp.uint32(128) - v, v)
+        flip = v >= half
+        mag = jnp.where(flip, jnp.uint32(full) - v, v)
         sign = flip.astype(jnp.uint32)
         return sign, mag | (sign << 7)
 
@@ -112,15 +122,17 @@ def signed_digits(be: FieldBackend, scalars_limbs: jax.Array,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _pass_call(modulus: int, chunks: int, interpret: bool = False):
+def _pass_call(modulus: int, chunks: int, c: int = 7,
+               interpret: bool = False):
     """One 8-window pass over all points.
 
     Inputs:  px, py  (L, chunks*8, 128)  Montgomery affine coords
              digs    (chunks, 8, 8, 128) u32: [chunk, point-row, window, lane]
-    Output:  table   (65, 1, 3, L, 8, 128): bucket, reg, coord, limb,
-             window, lane.  (NREG = 1: a second accumulator register per
+    Output:  table   (B, 1, 3, L, 8, 128): bucket, reg, coord, limb,
+             window, lane; B = 2^(c-1) + 1 buckets for c-bit signed
+             windows.  (NREG = 1: a second accumulator register per
              bucket would break the RMW chain between consecutive
-             sub-steps, but 65 x 2 x 48 x 4KB = 25.6 MB exceeds VMEM.)
+             sub-steps, but 2x the table exceeds VMEM.)
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -128,7 +140,8 @@ def _pass_call(modulus: int, chunks: int, interpret: bool = False):
     rf = reg_field(modulus)
     curve = RegCurve(rf)
     L = rf.L
-    B = 65
+    half = 1 << (c - 1)
+    B = half + 1
     NREG = 1
 
     one = rf.one_limbs                 # Montgomery 1 as python ints
@@ -162,18 +175,18 @@ def _pass_call(modulus: int, chunks: int, interpret: bool = False):
             ny = rf.neg(y)
             qy = rf.select(sign, ny, y)
 
-            # Gather cur = T[mag] : binary select tree over 64 + top.
-            bits = [(mag & (1 << k)) != 0 for k in range(6)]
-            top = mag >= 64
+            # Gather cur = T[mag]: binary select tree over 2^(c-1) + top.
+            bits = [(mag & (1 << k)) != 0 for k in range(c - 1)]
+            top = mag >= half
 
             def tree(plane):
                 nodes = [t_ref[b, g, plane // L, plane % L]
-                         for b in range(64)]
-                for k in range(6):
+                         for b in range(half)]
+                for k in range(c - 1):
                     nodes = [jnp.where(bits[k], nodes[2 * j + 1],
                                        nodes[2 * j])
                              for j in range(len(nodes) // 2)]
-                return jnp.where(top, t_ref[64, g, plane // L, plane % L],
+                return jnp.where(top, t_ref[half, g, plane // L, plane % L],
                                  nodes[0])
 
             X = [tree(i) for i in range(L)]
@@ -216,7 +229,7 @@ def _pass_call(modulus: int, chunks: int, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _pass_xla(curve_type: str):
+def _pass_xla(curve_type: str, c: int = 7):
     """Semantics-identical jnp implementation of ``_pass_call``: same table
     layout, same update order, so pallas-vs-reference equality on TPU plus
     reference-vs-host-oracle equality on CPU validates the kernel."""
@@ -224,7 +237,7 @@ def _pass_xla(curve_type: str):
     curve = CurveOps(fq_backend(curve_type))
     f = curve.f
     L = f.num_limbs
-    B = 65
+    B = (1 << (c - 1)) + 1
 
     def run(px, py, digs):
         # px/py (L, rows, 128); digs (chunks, 8, 8, 128)
@@ -289,8 +302,9 @@ def _tiled(op):
     return call
 
 
-def _reduce_tables(curve: CurveOps, tables: jax.Array, W: int) -> jax.Array:
-    """tables (P, 65, 2, 3, L, 8, 128) -> total (3, L, 1).
+def _reduce_tables(curve: CurveOps, tables: jax.Array, W: int,
+                   c: int = WINDOW_BITS) -> jax.Array:
+    """tables (P, B, NREG, 3, L, 8, 128) -> total (3, L, 1).
 
     Steps: fold the 2 accumulator regs + 128 lanes (halving tree), weighted
     bucket sum per window via an exclusive suffix ladder, then a vectorized
@@ -342,7 +356,7 @@ def _reduce_tables(curve: CurveOps, tables: jax.Array, W: int) -> jax.Array:
     # lax.scan whose small body is c doublings + one add at width 1 —
     # compile-light (a single traced body) and only W * (c+1) narrow ops.
     def fold(acc, s_w):
-        for _ in range(WINDOW_BITS):
+        for _ in range(c):
             acc = dbl(acc)
         return add(acc, s_w[..., None]), None
 
@@ -366,6 +380,7 @@ class FusedMsm:
         self.curve = CurveOps(fq_backend(curve_type))
         self.scalar_backend = fr_backend(curve_type)
         self.total_bits = self.scalar_backend.modulus.bit_length()
+        self.c = window_bits_for(self.curve.f.num_limbs)
         gx, gy = (C.BN254_G1 if curve_type == "bn254" else C.BLS12_381_G1)
         self._gen_affine = (gx, gy)
 
@@ -394,7 +409,7 @@ class FusedMsm:
         """(Ls, n) canonical limbs -> (P, chunks, 8, 8, 128) pass digits."""
         n = scalars_limbs.shape[-1]
         enc = signed_digits(self.scalar_backend, scalars_limbs,
-                            self.total_bits)                 # (Wp, n)
+                            self.total_bits, self.c)         # (Wp, n)
         Wp = enc.shape[0]
         if npad > n:
             enc = jnp.concatenate(
@@ -428,18 +443,19 @@ class FusedMsm:
 
     @functools.lru_cache(maxsize=None)
     def _jitted(self, chunks: int, use_kernel: bool, interpret: bool):
-        W = num_windows(self.total_bits)
+        W = num_windows(self.total_bits, self.c)
         if use_kernel:
-            call = _pass_call(self.curve.f.modulus, chunks, interpret)
+            call = _pass_call(self.curve.f.modulus, chunks, self.c,
+                              interpret)
         else:
-            call = _pass_xla(self.curve_type)
+            call = _pass_xla(self.curve_type, self.c)
 
         def run(px, py, scalars_limbs):
             digs = self.digits(scalars_limbs, chunks * CHUNK * LANES)
             P = digs.shape[0]
             tables = jnp.stack([call(px, py, digs[p]) for p in range(P)],
                                axis=0)
-            return _reduce_tables(self.curve, tables, W)   # (3, L, 1)
+            return _reduce_tables(self.curve, tables, W, self.c)  # (3,L,1)
 
         return jax.jit(run)
 

@@ -1,0 +1,79 @@
+"""Staged-Pallas NTT parity vs the recursive host oracle (interpret mode).
+
+The staged path (ops/ntt_stage.py) is the production TPU path for every
+n >= 2^11 (ops/ntt.py NttContext._mode), yet round 2 shipped it with zero
+suite coverage (VERDICT.md round-2 missing #5).  These tests run the real
+kernel bodies under pallas interpret mode on CPU and require bit-exact
+agreement with the recursive host FFT (/root/reference/fft_ff.py:19-58
+semantics via ops/host/fft.py).
+
+Stage-class coverage by size:
+  * n = 2048 (rows = 16): local single stages, fused local pairs
+    (_local_pair_call), and one paired single stage (span = 1024).
+  * n = 4096 (rows = 32): adds the fused paired-pair class
+    (_paired_pair_call, spans 1024+2048 with 4*span <= n).
+"""
+
+import random
+
+import pytest
+
+from kzg_snark_tpu.ops.host.field import scalar_field
+from kzg_snark_tpu.ops.host.fft import fft_ff, ifft_ff
+from kzg_snark_tpu.ops.ntt import ntt_context
+from kzg_snark_tpu.ops import pallas_fr
+
+Fr = scalar_field("bn254")
+rng = random.Random(20260820)
+
+
+@pytest.fixture()
+def staged_interpret(monkeypatch):
+    monkeypatch.setattr(pallas_fr, "_INTERPRET", True)
+    monkeypatch.setenv("KZG_TPU_NTT_MODE", "staged")
+
+
+def _host_ntt(coeffs, n):
+    w = Fr.nth_root_of_unity(n)
+    return [int(v) for v in fft_ff([Fr(c) for c in coeffs], w)]
+
+
+def test_staged_ntt_parity_2048(staged_interpret):
+    n = 2048
+    ctx = ntt_context("bn254", n)
+    be = ctx.backend
+    coeffs = [rng.randrange(Fr.modulus) for _ in range(n)]
+    got = be.to_ints(ctx.ntt(be.from_ints(coeffs)))
+    assert got == _host_ntt(coeffs, n)
+
+
+def test_staged_intt_parity_2048(staged_interpret):
+    n = 2048
+    ctx = ntt_context("bn254", n)
+    be = ctx.backend
+    values = [rng.randrange(Fr.modulus) for _ in range(n)]
+    w = Fr.nth_root_of_unity(n)
+    host = [int(v) for v in ifft_ff([Fr(v) for v in values], w)]
+    got = be.to_ints(ctx.intt(be.from_ints(values)))
+    assert got == host
+
+
+@pytest.mark.slow
+def test_staged_ntt_parity_4096(staged_interpret):
+    """Covers the fused paired-pair stage class (spans 1024 + 2048)."""
+    n = 4096
+    ctx = ntt_context("bn254", n)
+    be = ctx.backend
+    coeffs = [rng.randrange(Fr.modulus) for _ in range(n)]
+    got = be.to_ints(ctx.ntt(be.from_ints(coeffs)))
+    assert got == _host_ntt(coeffs, n)
+
+
+@pytest.mark.slow
+def test_staged_roundtrip_8192(staged_interpret):
+    n = 8192
+    ctx = ntt_context("bn254", n)
+    be = ctx.backend
+    coeffs = [rng.randrange(Fr.modulus) for _ in range(n)]
+    x = be.from_ints(coeffs)
+    assert be.to_ints(ctx.intt(ctx.ntt(x))) == coeffs
