@@ -209,6 +209,40 @@ class CurveOps:
         out = jnp.where(p_inf[None, None], qpt, out)
         return out
 
+    def add_mixed_xla_fast(self, p: jax.Array, qx: jax.Array, qy: jax.Array
+                           ) -> jax.Array:
+        """Incomplete mixed add — XLA twin of ``RegCurve.add_mixed_fast``
+        (identical formula order, bit-identical representatives).  Correct
+        for p infinite (select) and p == -q (Z3 = 2*Z1*H = 0 = identity);
+        the p == q doubling case yields the identity instead of 2q —
+        excluded by callers (distinct-point MSMs; see add_mixed_fast notes).
+        7M + 4S vs 9M + 9S for the complete :meth:`add_mixed_xla`."""
+        f = self.f
+        X1, Y1, Z1 = p[0], p[1], p[2]
+
+        Z1Z1 = f.square(Z1)
+        U2 = f.mul(qx, Z1Z1)
+        S2 = f.mul(f.mul(qy, Z1), Z1Z1)
+        H = f.sub(U2, X1)
+        Rr = f.sub(S2, Y1)
+
+        HH = f.square(H)
+        I = f.double(f.double(HH))
+        J = f.mul(H, I)
+        r2 = f.double(Rr)
+        V = f.mul(X1, I)
+        X3 = f.sub(f.sub(f.square(r2), J), f.double(V))
+        Y3 = f.sub(f.mul(r2, f.sub(V, X3)), f.double(f.mul(Y1, J)))
+        Z3 = f.sub(f.sub(f.square(f.add(Z1, H)), Z1Z1), HH)
+        general = jnp.stack([X3, Y3, Z3], axis=0)
+
+        p_inf = f.is_zero(Z1)
+        ones = self._ones(X3.shape[1:])
+        qxb = jnp.broadcast_to(qx, X3.shape) if qx.shape != X3.shape else qx
+        qyb = jnp.broadcast_to(qy, Y3.shape) if qy.shape != Y3.shape else qy
+        qpt = jnp.stack([qxb, qyb, ones], axis=0)
+        return jnp.where(p_inf[None, None], qpt, general)
+
     # -- scalar multiplication -----------------------------------------
     def scale(self, pts: jax.Array, scalar_bits: jax.Array) -> jax.Array:
         """Batched double-and-add with shared *traced* bit array

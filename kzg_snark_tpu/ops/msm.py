@@ -247,10 +247,11 @@ class MsmContext:
         L = f.num_limbs
         n = points.shape[-1]
 
-        # Fused VMEM-bucket kernel: BN254 only for now — the 65-bucket
-        # Jacobian table is 12.8 MB at L=16 limbs; BLS12-381's L=24 would
-        # need 19.2 MB > VMEM (a c=6/B=33 variant fits; future work).
-        if n >= self.fused_threshold and self.curve_type == "bn254":
+        # Fused VMEM-bucket kernel.  Window size adapts to the limb count
+        # (ops/msm_kernel.window_bits_for): BN254 L=16 runs c=7 (65-bucket
+        # table, 12.8 MB VMEM); BLS12-381 L=24 runs c=6 (33 buckets,
+        # 9.5 MB) — c=7 there would need 19.2 MB > the 16 MB scoped VMEM.
+        if n >= self.fused_threshold:
             from .pallas_fr import curve_kernels_enabled, _INTERPRET
             if curve_kernels_enabled():
                 from .msm_kernel import fused_msm

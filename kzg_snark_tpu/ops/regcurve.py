@@ -95,6 +95,52 @@ class RegCurve:
         return (X3, Y3, Z3)
 
     # ------------------------------------------------------------------
+    def add_mixed_fast(self, P, qx, qy):
+        """Incomplete mixed add p + (qx, qy, 1) — the MSM bucket workhorse.
+
+        Drops :meth:`add_mixed`'s unconditional doubling branch (2M + 5S of
+        extra field work per add, ~60% of the madd itself, paid on *every*
+        add just to cover the p == q case).  Case analysis:
+
+        * p infinite (empty bucket — common): handled by the select below.
+        * p == -q: H = 0 makes Z3 = 2*Z1*H = 0, i.e. the identity — the
+          formula is already correct with no select.
+        * p == q (needs doubling): H = 0 yields Z3 = 0, silently dropping
+          2q.  A bucket equals the incoming point only when a partial
+          subset sum of *distinct* points collides with it — probability
+          ~2^-254 for SRS/protocol inputs (and the bench constructs its
+          points distinct for exactly this reason).  Callers that cannot
+          exclude duplicates use the complete variant (KZG_TPU_COMPLETE_ADD).
+
+        Cost: 7M + 4S (madd-2007-bl) vs 9M + 9S for the complete form —
+        measured 1.55x on the fused MSM kernel (see ops/msm_kernel.py).
+        """
+        f = self.f
+        X1, Y1, Z1 = P
+
+        Z1Z1 = f.square(Z1)
+        U2 = f.mul(qx, Z1Z1)
+        S2 = f.mul(f.mul(qy, Z1), Z1Z1)
+        H = f.sub(U2, X1)
+        Rr = f.sub(S2, Y1)
+
+        HH = f.square(H)
+        I = f.double(f.double(HH))
+        J = f.mul(H, I)
+        r2 = f.double(Rr)
+        V = f.mul(X1, I)
+        X3 = f.sub(f.sub(f.square(r2), J), f.double(V))
+        Y3 = f.sub(f.mul(r2, f.sub(V, X3)), f.double(f.mul(Y1, J)))
+        Z3 = f.sub(f.sub(f.square(f.add(Z1, H)), Z1Z1), HH)
+
+        p_inf = f.is_zero(Z1)
+        one = f.one(X3[0])
+        X3 = f.select(p_inf, qx, X3)
+        Y3 = f.select(p_inf, qy, Y3)
+        Z3 = f.select(p_inf, one, Z3)
+        return (X3, Y3, Z3)
+
+    # ------------------------------------------------------------------
     def add_mixed(self, P, qx, qy):
         """Complete Jacobian + affine (q finite; see CurveOps.add_mixed)."""
         f = self.f

@@ -42,6 +42,28 @@ def interpret_kernels(monkeypatch):
     pallas_fr._mul_call.cache_clear()
 
 
+def test_validator_traps_bad_arrays():
+    """Fast-tier check of the validator logic itself (no Pallas kernel:
+    the minimum kernel batch is 1024 and interpret-mode tracing of the
+    unrolled mul body costs minutes on this box — the kernel-integration
+    variants below are slow-tier, VERDICT r3 weak #2)."""
+    be = fr_backend("bn254")
+    good = be.to_mont(be.from_ints([rng.randrange(be.modulus)
+                                    for _ in range(8)]))
+    validate_canonical(be, good, "good")       # must not raise
+    bad_limb = good.at[0].add(jnp.uint32(1 << 16))
+    with pytest.raises(AssertionError, match="limb overflow"):
+        validate_canonical(be, bad_limb, "bad-limb")
+    # raw limb split of p itself: limb-clean but == p, i.e. non-canonical
+    # (from_ints can't build this — it reduces mod p and Montgomery-maps)
+    from kzg_snark_tpu.ops.fr import ints_to_limb_array
+    over = jnp.asarray(ints_to_limb_array([be.modulus - 1], be.num_limbs))
+    over = over.at[0, 0].add(jnp.uint32(1))
+    with pytest.raises(AssertionError, match="non-canonical"):
+        validate_canonical(be, over, "equal-p")
+
+
+@pytest.mark.slow
 def test_clean_kernel_validates(interpret_kernels):
     be = fr_backend("bn254")
     a, b = _rand_mont(be, 1024), _rand_mont(be, 1024)
@@ -49,6 +71,7 @@ def test_clean_kernel_validates(interpret_kernels):
     validate_canonical(be, out, "fused_mul")   # must not raise
 
 
+@pytest.mark.slow
 def test_seeded_limb_overflow_is_caught(interpret_kernels, monkeypatch):
     """A mul that leaks a 17th bit into limb 0 must trap at validation."""
     be = fr_backend("bn254")
@@ -67,6 +90,7 @@ def test_seeded_limb_overflow_is_caught(interpret_kernels, monkeypatch):
         validate_canonical(be, out, "fused_mul")
 
 
+@pytest.mark.slow
 def test_missed_final_subtraction_is_caught(interpret_kernels, monkeypatch):
     """A mul returning p + x (limb-clean but non-canonical) must trap."""
     be = fr_backend("bn254")

