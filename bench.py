@@ -1,54 +1,83 @@
 #!/usr/bin/env python3
 """Benchmark harness — streams a cumulative headline JSON line per section.
 
-The driver records the LAST stdout line; round 2's all-or-nothing protocol
-(one line after all five sections) lost everything when the run was killed
-(BENCH_r02.json rc=124, tail="").  This version prints a complete,
-valid headline JSON line after EVERY section, so a timeout at any point
-preserves best-so-far results.  Sections run in value order: the headline
-MSM at 2^20 first, then 2^16 (+ SRS setup timing), NTT, PLONK n=2^16,
-Marlin fixture end-to-end.
+The driver records the LAST stdout line; a complete, valid headline JSON
+line is printed after EVERY section, so a timeout at any point preserves
+best-so-far results.  Sections run in value order: a fast hardware probe
+(VPU u32 + MXU int8 measured rates), the headline MSM at 2^20 (single +
+batched scalars), 2^16 over a real powers-of-tau SRS, NTT 2^20, PLONK
+n=2^16, Marlin fixture end-to-end, BLS12-381 fused MSM.
 
-Headline metric: G1 MSM throughput (points/s/chip) at 2^20 against the
-1e7 north star.  The reference publishes no numbers (BASELINE.md): its
-commit loop is pure-Python double-and-add (/root/reference/kzg.py:112-117).
+Headline metric: single-MSM G1 throughput (points/s/chip) at 2^20 against
+the 1e7 north star (batched-commit rates ride in extras).  The reference
+publishes no numbers (BASELINE.md): its commit loop is pure-Python
+double-and-add (/root/reference/kzg.py:112-117).
 
-The VPU roofline derivation ships in extras["roofline"] on every line so
-the record carries the ceiling argument even if later sections are lost:
-measured VPU rate ~5.06e9 (8,128)-vreg instr/s; an in-VMEM Montgomery
-modmul costs ~8.2k vreg-instrs per 1024 lanes => ~634M modmuls/s; a
-254-bit point costs 37 signed-7-bit windows x ~10.6 modmul-equivalents
-(mixed add + routing) => ~1.5M points/s/chip speed of light for a
-VPU-only design (see ops/msm_kernel.py docstring and scratch/probe*_r2.py).
+Round-4 roofline correction (see ops/msm_kernel.py): round 3's "67% of a
+1.5M ceiling" mis-costed the bucket add — the complete madd (with its
+unconditional doubling branch) is ~16.7 modmul-equiv, so 1.01M pts/s was
+already ~97% of its true ceiling.  Round 4 switched to the incomplete
+madd (10.4 + ~1 routing), raising the ceiling to ~1.5M and the measured
+single-MSM rate to ~1.52M (batch-8 ~1.7M).  The remaining 6.6x to the 1e7
+north star needs ~2.6G modmuls/s — ~4x this chip's entire vector unit;
+extras["roofline"]["levers"] records why GLV / batch-affine / MXU do not
+close it on this architecture, with the hw_probe section's measured rates
+alongside.
 
 Process layout: the axon TPU tunnel is single-claim and a faulted program
 poisons its process's device for good, so the orchestrator itself never
 touches JAX — each section runs in its own subprocess (serially).
-Compiled programs persist across subprocesses via the compilation cache.
+Compiled programs persist across subprocesses via the compilation cache
+(pre-warmed in-repo; a cold cache costs ~450 s on the first MSM compile).
 """
 
 import json
 import os
+import random
 import subprocess
 import sys
 import time
 
 TARGET_MSM = 1.0e7
 PLONK_LOG_N = 16
-SECTION_TIMEOUT_S = int(os.environ.get("KZG_BENCH_SECTION_TIMEOUT", "900"))
+SECTION_TIMEOUT_S = int(os.environ.get("KZG_BENCH_SECTION_TIMEOUT", "600"))
 
 ROOFLINE = {
     "vpu_vreg_instrs_per_s": 5.06e9,
     "modmul_vreg_instrs_per_1024": 8200,
     "vpu_modmuls_per_s": 634e6,
     "windows_254bit_c7": 37,
-    "modmul_equiv_per_window_add": 10.6,
+    "modmul_equiv_per_window_add_fast": 11.4,   # 7M+4S madd + routing
+    "modmul_equiv_per_window_add_complete": 17.5,
     "vpu_msm_ceiling_pts_per_s": 1.5e6,
-    "note": ("VPU-only ceiling for 254-bit Pippenger; the 1e7 north star "
-             "needs ~2.6G modmuls/s, ~4x this chip's entire vector unit. "
-             "MXU int8 limb-matmul offers ~80x raw madd rate but only for "
-             "shared-operand products (fixed DFT/modulus matrices), not "
-             "the data-dependent bucket adds that dominate MSM."),
+    "measured_r4_single_pts_per_s": 1.52e6,
+    "note": (
+        "VPU-only ceiling for 254-bit Pippenger with the incomplete "
+        "7M+4S mixed add; the 1e7 north star needs ~2.6G modmuls/s, ~4x "
+        "this chip's entire vector unit.  Round 3's 1.01M used the "
+        "complete add (9M+9S incl. an unconditional doubling branch) and "
+        "was ~97% of THAT ceiling, not 67% of this one."),
+    "levers": {
+        "glv": (
+            "no-op at a VMEM-capped window: N x ceil(254/7)=37N bucket "
+            "adds become 2N x ceil(128/7)=38N; GLV only wins when the "
+            "2^c bucket term matters (small N) or c can grow, but c=8 "
+            "needs a 25.6MB table > 16MB VMEM"),
+        "batch_affine": (
+            "needs lambda denominators inverted before each add; the "
+            "SIMD-parallel batch inversion costs ~2*log2(1024)=20 "
+            "modmul-equiv/add > the 10.4 Jacobian madd it replaces; the "
+            "3M/elt sequential chain deadlocks on the bucket RMW "
+            "dependency; GPU-style sort/deferral needs scatter+sort, "
+            "measured serialized (~25-200ms per 2^20 op) on this chip"),
+        "mxu": (
+            "modmul is an elementwise limb convolution; the MXU "
+            "contracts against a shared operand, so only fixed-operand "
+            "products (NTT twiddle matrices, Montgomery n/n' constants) "
+            "map onto it — not the variable x variable products of a "
+            "bucket add.  hw_probe records the measured int8 matmul "
+            "rate next to the VPU u32 rate."),
+    },
 }
 
 
@@ -71,36 +100,68 @@ def best_of(fn, reps=3):
 # Sections (run inside subprocesses).
 # ---------------------------------------------------------------------------
 
-def _msm_points(m: int):
-    """m distinct host-side G1 points (j+1)*G, affine ints — cheap to
-    generate (m projective adds) and an independent oracle basis."""
-    from kzg_snark_tpu.ops.host import curve as hc
-    from kzg_snark_tpu.ops.host.field import base_field
-    Fp = base_field("bn254")
-    G1 = (Fp(1), Fp(2), Fp(1))
-    pts, acc = [], G1
-    for _ in range(m):
-        ax, ay = hc.normalize(acc)
-        pts.append((int(ax), int(ay)))
-        acc = hc.add(acc, G1)
-    return pts
+def section_hw_probe() -> dict:
+    """Measured device rates behind the roofline: sustained VPU u32
+    multiply (the modmul substrate) and MXU int8 matmul (the lever the
+    roofline note rules out for data-dependent bucket adds) — so the
+    'MXU inapplicable' claim ships with numbers (VERDICT r3 missing #2)."""
+    from kzg_snark_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    n = 1 << 22
+
+    @jax.jit
+    def vpu(a, b):
+        x = a
+        for _ in range(32):
+            x = x * b + a
+        return x
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.randint(key, (n,), 0, 1 << 30, jnp.int32).astype(jnp.uint32)
+    _sync(vpu(a, a))
+    t = best_of(lambda: _sync(vpu(a, a)), reps=3)
+    out["vpu_u32_mul_ops_per_s"] = round(64 * n / t / 1e9, 2) * 1e9  # mul+add
+
+    M = 4096
+
+    @jax.jit
+    def mxu(x, w):
+        y = x
+        for _ in range(8):
+            y = jax.lax.dot_general(
+                y, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.int8)
+        return y
+
+    x8 = jax.random.randint(key, (M, M), -127, 127, jnp.int32).astype(jnp.int8)
+    w8 = jax.random.randint(key, (M, M), -127, 127, jnp.int32).astype(jnp.int8)
+    _sync(mxu(x8, w8))
+    t = best_of(lambda: _sync(mxu(x8, w8)), reps=3)
+    out["mxu_int8_madds_per_s"] = round(8 * M * M * M / t / 1e12, 2) * 1e12
+    out["mxu_vs_vpu_ratio"] = round(out["mxu_int8_madds_per_s"]
+                                    / out["vpu_u32_mul_ops_per_s"], 1)
+    return out
 
 
 def section_msm_big(size: int) -> dict:
-    """Headline MSM throughput at `size` points: base points are m distinct
-    G1 multiples tiled to `size` (identical kernel work to an SRS MSM; the
-    expensive powers-of-tau generation is timed separately in the 2^16
-    section).  Correctness: a 512-point prefix (others' scalars zeroed)
-    must equal the pure-host oracle — this catches wrong-point/wrong-scalar
-    bugs the round-2 additivity check could not (VERDICT.md weak #4)."""
+    """Headline MSM throughput at `size` points over a random-multiplier
+    basis (P_i = k_i G, 128-bit k_i — required by the incomplete fast add
+    and an exact-oracle basis: any scalar window checks against one host
+    scalar mul).  The oracle window OFFSET is randomized per run so a
+    chunk-boundary bug anywhere in [0, size) is eventually caught
+    (VERDICT r3 weak #6).  Also measures the batched-commit shape
+    (8 scalar vectors, one digit tensor/pass schedule)."""
     from kzg_snark_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
-    import random
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
     from kzg_snark_tpu.constants import BN254_R
+    from kzg_snark_tpu.ops.benchpoints import random_point_basis
     from kzg_snark_tpu.ops.host import curve as hc
     from kzg_snark_tpu.ops.host.field import base_field
     from kzg_snark_tpu.ops.msm_kernel import fused_msm
@@ -108,30 +169,25 @@ def section_msm_big(size: int) -> dict:
 
     out = {}
     rng = random.Random(1234)
-    m = 512
-    pts_aff = _msm_points(m)
-    reps_tile = size // m
-
     fm = fused_msm("bn254")
-    base = fm.curve.from_affine_ints([p[0] for p in pts_aff],
-                                     [p[1] for p in pts_aff])
-    pts = jnp.tile(base, (1, 1, reps_tile))
-    planes = tuple(_sync(p) for p in fm.prepare_points(pts))
-
-    r = BN254_R
-    scalar_sets = [[rng.randrange(r) for _ in range(size)] for _ in range(4)]
-    limb_sets = [jnp.asarray(ints_to_limb_array(v, 16)) for v in scalar_sets]
-
-    def run(lb):
-        res = fm.msm_prepared(planes, lb)
-        np.asarray(jax.device_get(res))
-        return res
 
     t0 = time.perf_counter()
-    run(limb_sets[0])
+    pts, ks = random_point_basis("bn254", size, seed=20260820)
+    planes = tuple(_sync(p) for p in fm.prepare_points(pts))
+    out["basis_build_s"] = round(time.perf_counter() - t0, 2)
+
+    r = BN254_R
+    sets = [[rng.randrange(r) for _ in range(size)] for _ in range(4)]
+    limbs = [jnp.asarray(ints_to_limb_array(v, 16)) for v in sets]
+
+    def run(lb):
+        return _sync(fm.msm_prepared(planes, lb))
+
+    t0 = time.perf_counter()
+    run(limbs[0])
     out["msm_first_s"] = round(time.perf_counter() - t0, 3)
     ts = []
-    for lb in limb_sets[1:]:
+    for lb in limbs[1:]:
         t0 = time.perf_counter()
         run(lb)
         ts.append(time.perf_counter() - t0)
@@ -140,19 +196,36 @@ def section_msm_big(size: int) -> dict:
     out["msm_rate"] = round(size / t, 1)
     out["msm_size"] = size
 
-    # --- host-oracle prefix check -------------------------------------
+    # --- randomized-window host-oracle check --------------------------
     k = 512
-    prefix = scalar_sets[0][:k]
-    zeroed = prefix + [0] * (size - k)
+    off = random.SystemRandom().randrange(0, size - k)
+    zeroed = [0] * size
+    zeroed[off:off + k] = sets[0][off:off + k]
     lb = jnp.asarray(ints_to_limb_array(zeroed, 16))
     got = fm.curve.to_affine_ints(fm.msm_prepared(planes, lb))[0]
     Fp = base_field("bn254")
     G1 = (Fp(1), Fp(2), Fp(1))
-    # prefix points are (j%m + 1)*G, j < k <= m  =>  sum s_j (j+1) * G
-    total = sum(s * (j + 1) for j, s in enumerate(prefix)) % r
+    total = sum(s * kk for s, kk in
+                zip(sets[0][off:off + k], ks[off:off + k])) % r
     exp = hc.normalize(hc.multiply(G1, total))
     exp = None if exp is None else (int(exp[0]), int(exp[1]))
     out["msm_oracle_ok"] = bool(got == exp)
+    out["msm_oracle_window"] = off
+
+    # --- batched commit shape (k = 8 MSMs, one pass schedule) ---------
+    K = 8
+    kl = jnp.stack([jnp.asarray(ints_to_limb_array(
+        [rng.randrange(r) for _ in range(size)], 16)) for _ in range(K)])
+    kl2 = jnp.stack([jnp.asarray(ints_to_limb_array(
+        [rng.randrange(r) for _ in range(size)], 16)) for _ in range(K)])
+    t0 = time.perf_counter()
+    run(kl)
+    out["msm_batch8_first_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    run(kl2)
+    tb = time.perf_counter() - t0
+    out["msm_batch8_steady_s"] = round(tb, 4)
+    out["msm_batch8_rate"] = round(K * size / tb, 1)
     return out
 
 
@@ -161,11 +234,9 @@ def section_msm_srs(size: int) -> dict:
     commit semantics), plus the additivity cross-check."""
     from kzg_snark_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
-    import random
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
     from kzg_snark_tpu.models.kzg import KZG
     from kzg_snark_tpu.ops.msm_kernel import fused_msm
     from kzg_snark_tpu.ops.fr import ints_to_limb_array
@@ -189,9 +260,7 @@ def section_msm_srs(size: int) -> dict:
     limbs = [jnp.asarray(ints_to_limb_array(v, 16)) for v in sets]
 
     def run(lb):
-        res = fm.msm_prepared(planes, lb)
-        np.asarray(jax.device_get(res))
-        return res
+        return _sync(fm.msm_prepared(planes, lb))
 
     run(limbs[0])
     t = best_of(lambda: run(limbs[1]), reps=2)
@@ -249,6 +318,9 @@ def section_ntt() -> dict:
     t_lo = min(chain(inv, y, 4) for _ in range(2))
     t_hi = min(chain(inv, y, 12) for _ in range(2))
     out["intt20_ms"] = round((t_hi - t_lo) / 8 * 1e3, 2)
+    # HBM-bound floor: 2 x 20 stages x 64B/elt read+write at ~800 GB/s
+    out["ntt20_hbm_floor_ms"] = round(
+        20 * 2 * 64 * n / 800e9 * 1e3, 2)
 
     # Parity: round-trip must be exact, and a spot evaluation must match
     # an independent host Horner evaluation of the same polynomial.
@@ -344,12 +416,73 @@ def section_marlin() -> dict:
     return out
 
 
+def section_bls(size: int) -> dict:
+    """BLS12-381 fused MSM (c = 6, 33-bucket table, L = 24 limb planes) —
+    the reference's curve_type="bls12_381" config
+    (/root/reference/kzg.py:31-35) on the production kernel path
+    (VERDICT r3 missing #4)."""
+    from kzg_snark_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from kzg_snark_tpu.constants import BLS12_381_G1, BLS12_381_R
+    from kzg_snark_tpu.ops.benchpoints import random_point_basis
+    from kzg_snark_tpu.ops.host import curve as hc
+    from kzg_snark_tpu.ops.host.field import base_field
+    from kzg_snark_tpu.ops.msm_kernel import fused_msm
+    from kzg_snark_tpu.ops.fr import ints_to_limb_array
+
+    out = {}
+    rng = random.Random(555)
+    fm = fused_msm("bls12_381")
+    out["bls_window_bits"] = fm.c
+
+    t0 = time.perf_counter()
+    pts, ks = random_point_basis("bls12_381", size, seed=381)
+    planes = tuple(_sync(p) for p in fm.prepare_points(pts))
+    out["bls_basis_build_s"] = round(time.perf_counter() - t0, 2)
+
+    r = BLS12_381_R
+    sets = [[rng.randrange(r) for _ in range(size)] for _ in range(3)]
+    limbs = [jnp.asarray(ints_to_limb_array(v, 16)) for v in sets]
+
+    def run(lb):
+        return _sync(fm.msm_prepared(planes, lb))
+
+    t0 = time.perf_counter()
+    run(limbs[0])
+    out["bls_msm_first_s"] = round(time.perf_counter() - t0, 2)
+    t = best_of(lambda: run(limbs[1]), reps=2)
+    out["bls_msm_steady_s"] = round(t, 4)
+    out["bls_msm_rate"] = round(size / t, 1)
+    out["bls_msm_size"] = size
+
+    k = 512
+    off = random.SystemRandom().randrange(0, size - k)
+    zeroed = [0] * size
+    zeroed[off:off + k] = sets[0][off:off + k]
+    lb = jnp.asarray(ints_to_limb_array(zeroed, 16))
+    got = fm.curve.to_affine_ints(fm.msm_prepared(planes, lb))[0]
+    Fp = base_field("bls12_381")
+    G1 = (Fp(BLS12_381_G1[0]), Fp(BLS12_381_G1[1]), Fp(1))
+    total = sum(s * kk for s, kk in
+                zip(sets[0][off:off + k], ks[off:off + k])) % r
+    exp = hc.normalize(hc.multiply(G1, total))
+    exp = None if exp is None else (int(exp[0]), int(exp[1]))
+    out["bls_oracle_ok"] = bool(got == exp)
+    out["bls_oracle_window"] = off
+    return out
+
+
 SECTIONS = [
+    ("hw_probe", ["--section", "hw_probe"]),
     ("msm_1048576", ["--section", "msm_big", str(1 << 20)]),
     ("msm_65536", ["--section", "msm_srs", str(1 << 16)]),
     ("ntt", ["--section", "ntt"]),
     ("plonk", ["--section", "plonk"]),
     ("marlin", ["--section", "marlin"]),
+    ("bls_65536", ["--section", "bls", str(1 << 16)]),
 ]
 
 
@@ -405,7 +538,9 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--section":
         name = sys.argv[2]
         try:
-            if name == "ntt":
+            if name == "hw_probe":
+                result = section_hw_probe()
+            elif name == "ntt":
                 result = section_ntt()
             elif name == "msm_big":
                 result = section_msm_big(int(sys.argv[3]))
@@ -415,6 +550,8 @@ def main():
                 result = section_plonk()
             elif name == "marlin":
                 result = section_marlin()
+            elif name == "bls":
+                result = section_bls(int(sys.argv[3]))
             else:
                 result = {"error": f"unknown section {name}"}
         except Exception as e:  # noqa: BLE001

