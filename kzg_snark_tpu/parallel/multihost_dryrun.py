@@ -82,8 +82,14 @@ def worker(pid: int, nprocs: int, port: int) -> None:
     x_nat = be.from_ints(coeffs)
     L = be.num_limbs
     x_cyc = x_nat.reshape(L, ctx.n2, ctx.D).transpose(0, 2, 1)
+    # host_local_array_to_global_array takes the PER-PROCESS slice of the
+    # sharded axis (host-major device order: process pid owns rows
+    # [pid*chips, (pid+1)*chips)); passing the full array doubles the
+    # global shape and silently truncates inside the shard_map body.
+    chips = mesh.devices.shape[1]
+    x_local = jax.device_get(x_cyc)[:, pid * chips:(pid + 1) * chips, :]
     x_cyc = multihost_utils.host_local_array_to_global_array(
-        x_cyc, mesh, jax.sharding.PartitionSpec(
+        x_local, mesh, jax.sharding.PartitionSpec(
             None, (HOST_AXIS, CHIP_AXIS), None))
     y = ctx.ntt(x_cyc)
     y_all = multihost_utils.process_allgather(y, tiled=True)
