@@ -121,10 +121,20 @@ def section_hw_probe() -> dict:
             x = x * b + a      # one fused u32 multiply-add per iteration
         return x
 
+    # Every timed call gets DISTINCT inputs: repeated identical dispatches
+    # return in ~60us on this tunnel (remote result memoization), which
+    # inflated earlier probe rates ~10-3000x over chip peaks.
     key = jax.random.PRNGKey(0)
-    a = jax.random.randint(key, (n,), 0, 1 << 30, jnp.int32).astype(jnp.uint32)
-    _sync(vpu(a, a))
-    t = best_of(lambda: _sync(vpu(a, a)), reps=3)
+    variants = [jax.random.randint(jax.random.PRNGKey(i), (n,), 0, 1 << 30,
+                                   jnp.int32).astype(jnp.uint32)
+                for i in range(4)]
+    _sync(vpu(variants[3], variants[3]))
+    ts = []
+    for a in variants[:3]:
+        t0 = time.perf_counter()
+        _sync(vpu(a, a))
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
     out["vpu_u32_madds_per_s"] = round(IT_V * n / t / 1e9, 1) * 1e9
     out["vpu_probe_s"] = round(t, 4)
 
@@ -140,10 +150,16 @@ def section_hw_probe() -> dict:
                 preferred_element_type=jnp.int32).astype(jnp.int8)
         return y
 
-    x8 = jax.random.randint(key, (M, M), -127, 127, jnp.int32).astype(jnp.int8)
+    xs8 = [jax.random.randint(jax.random.PRNGKey(10 + i), (M, M), -127, 127,
+                              jnp.int32).astype(jnp.int8) for i in range(4)]
     w8 = jax.random.randint(key, (M, M), -127, 127, jnp.int32).astype(jnp.int8)
-    _sync(mxu(x8, w8))
-    t = best_of(lambda: _sync(mxu(x8, w8)), reps=3)
+    _sync(mxu(xs8[3], w8))
+    ts = []
+    for x8 in xs8[:3]:
+        t0 = time.perf_counter()
+        _sync(mxu(x8, w8))
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
     out["mxu_int8_madds_per_s"] = round(IT_M * M * M * M / t / 1e12, 2) * 1e12
     out["mxu_probe_s"] = round(t, 4)
     out["mxu_vs_vpu_ratio"] = round(out["mxu_int8_madds_per_s"]
@@ -284,7 +300,14 @@ def section_msm_srs(size: int) -> dict:
         return _sync(fm.msm_prepared(planes, lb))
 
     run(limbs[0])
-    t = best_of(lambda: run(limbs[1]), reps=2)
+    # distinct inputs per timed call (identical repeated dispatches are
+    # memoized by the tunnel and time ~60us)
+    ts = []
+    for lb in limbs[1:]:
+        t0 = time.perf_counter()
+        run(lb)
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
     out["msm16_srs_steady_s"] = round(t, 4)
     out["msm16_srs_rate"] = round(size / t, 1)
 
@@ -315,6 +338,11 @@ def section_ntt() -> dict:
     key = jax.random.PRNGKey(7)
     x = jax.random.randint(key, (be.num_limbs, n), 0, 1 << 16,
                            dtype=jnp.int32).astype(jnp.uint32)
+    # canonical field elements (< 2^253 < r): uniform 16-bit limbs exceed
+    # the modulus and field ops assume canonical inputs — the round-1/3
+    # input was invalid, which is exactly what the (then-never-executed)
+    # parity flags below catch
+    x = x.at[be.num_limbs - 1].set(x[be.num_limbs - 1] & ((1 << 13) - 1))
 
     fwd = jax.jit(ctx.ntt)
     inv = jax.jit(ctx.intt)
@@ -325,19 +353,29 @@ def section_ntt() -> dict:
     # Chained-input slope timing: the device tunnel pipelines identical
     # dispatches, so single-call timings under-measure; the marginal cost
     # of extra chained calls is the honest per-transform latency.
-    def chain(f, x0, reps):
-        v = x0
+    state = {}
+
+    def chain(f, tag, reps):
+        # the chain state evolves across calls so no dispatch ever repeats
+        # an identical (program, input) pair — identical repeats are
+        # memoized by the tunnel and time ~60us
+        v = state[tag]
         t0 = time.perf_counter()
         for _ in range(reps):
             v = f(v)
         _sync(v)
+        state[tag] = v
         return time.perf_counter() - t0
-    chain(fwd, x, 2)
-    t_lo = min(chain(fwd, x, 4) for _ in range(2))
-    t_hi = min(chain(fwd, x, 12) for _ in range(2))
+
+    state["f"] = x
+    chain(fwd, "f", 2)
+    t_lo = min(chain(fwd, "f", 4) for _ in range(2))
+    t_hi = min(chain(fwd, "f", 12) for _ in range(2))
     out["ntt20_ms"] = round((t_hi - t_lo) / 8 * 1e3, 2)
-    t_lo = min(chain(inv, y, 4) for _ in range(2))
-    t_hi = min(chain(inv, y, 12) for _ in range(2))
+    state["i"] = y
+    chain(inv, "i", 2)
+    t_lo = min(chain(inv, "i", 4) for _ in range(2))
+    t_hi = min(chain(inv, "i", 12) for _ in range(2))
     out["intt20_ms"] = round((t_hi - t_lo) / 8 * 1e3, 2)
     # HBM-bound floor: 2 x 20 stages x 64B/elt read+write at ~800 GB/s
     out["ntt20_hbm_floor_ms"] = round(
@@ -474,7 +512,12 @@ def section_bls(size: int) -> dict:
     t0 = time.perf_counter()
     run(limbs[0])
     out["bls_msm_first_s"] = round(time.perf_counter() - t0, 2)
-    t = best_of(lambda: run(limbs[1]), reps=2)
+    ts = []
+    for lb in limbs[1:]:            # distinct inputs (tunnel memoization)
+        t0 = time.perf_counter()
+        run(lb)
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
     out["bls_msm_steady_s"] = round(t, 4)
     out["bls_msm_rate"] = round(size / t, 1)
     out["bls_msm_size"] = size
