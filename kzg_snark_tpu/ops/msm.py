@@ -233,13 +233,23 @@ class MsmContext:
         return dig.reshape(dig.shape[0], steps, lanes)
 
     # ------------------------------------------------------------------
-    def msm(self, points: jax.Array, scalars_limbs: jax.Array) -> jax.Array:
+    def msm(self, points: jax.Array, scalars_limbs: jax.Array,
+            complete: bool | None = None) -> jax.Array:
         """sum_i scalars[i] * points[i].
 
         points: (3, L, N) with Z = 1 (affine; SRS entries are never the
             identity — the Pippenger path's mixed add requires finite
             points, see _msm_core).
         scalars_limbs: (Ls, N) canonical (non-Montgomery) 16-bit limbs.
+        complete: bucket-add variant for the fused-kernel path (n >=
+            fused_threshold).  The default (None -> KZG_TPU_COMPLETE_ADD,
+            read at call time) is the *incomplete* fast mixed add — sound
+            only when the point basis is duplicate-free and unstructured
+            (SRS powers of a random tau, or random-multiplier bases; see
+            ops/benchpoints.py).  A structured basis such as [(i+1) G] can
+            hit the dropped p == q doubling case and return a silently
+            wrong sum: pass ``complete=True`` for such inputs (ADVICE r4
+            medium).  Sub-threshold paths always use complete adds.
         Returns (3, L, 1) Jacobian result.
         """
         curve = self.curve
@@ -256,7 +266,8 @@ class MsmContext:
             if curve_kernels_enabled():
                 from .msm_kernel import fused_msm
                 return fused_msm(self.curve_type).msm(
-                    points, scalars_limbs, interpret=_INTERPRET)
+                    points, scalars_limbs, interpret=_INTERPRET,
+                    complete=complete)
 
         if n <= self.small_threshold:
             # bits (16 Ls, N) -> (16*Ls, N) LSB-first

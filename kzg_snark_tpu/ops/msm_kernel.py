@@ -446,7 +446,6 @@ class FusedMsm:
     """Large-N MSM over one curve's G1 via the VMEM bucket kernel."""
 
     def __init__(self, curve_type: str = "bn254"):
-        import os
         from .fr import fq_backend, fr_backend
         from .. import constants as C
         self.curve_type = curve_type
@@ -454,12 +453,20 @@ class FusedMsm:
         self.scalar_backend = fr_backend(curve_type)
         self.total_bits = self.scalar_backend.modulus.bit_length()
         self.c = window_bits_for(self.curve.f.num_limbs)
-        # Complete (doubling-safe) adds on request; the default incomplete
-        # madd requires distinct input points (see regcurve.add_mixed_fast).
-        self.complete = os.environ.get(
-            "KZG_TPU_COMPLETE_ADD", "0") in ("1", "true", "on")
         gx, gy = (C.BN254_G1 if curve_type == "bn254" else C.BLS12_381_G1)
         self._gen_affine = (gx, gy)
+
+    @staticmethod
+    def _resolve_complete(complete: bool | None) -> bool:
+        """complete=None defers to KZG_TPU_COMPLETE_ADD *at call time* —
+        the FusedMsm instance and its _jitted programs are lru_cached, so
+        an __init__-time read silently ignored env/config changes made
+        after the first call (ADVICE r4 medium)."""
+        if complete is not None:
+            return complete
+        import os
+        return os.environ.get(
+            "KZG_TPU_COMPLETE_ADD", "0") in ("1", "true", "on")
 
     def prepare_points(self, points: jax.Array) -> tuple[jax.Array, jax.Array]:
         """(3, L, n) Jacobian-with-Z=1 -> padded (L, rows, 128) x/y planes.
@@ -509,13 +516,22 @@ class FusedMsm:
         return jnp.transpose(e, (0, 2, 3, 1, 4))  # (P, chunks, 8, 8, 128)
 
     def msm(self, points: jax.Array, scalars_limbs: jax.Array,
-            interpret: bool = False) -> jax.Array:
-        """sum_i scalars[i] * points[i] -> (3, L, 1) Jacobian."""
+            interpret: bool = False,
+            complete: bool | None = None) -> jax.Array:
+        """sum_i scalars[i] * points[i] -> (3, L, 1) Jacobian.
+
+        ``complete=False`` (the env-default) uses the incomplete
+        ``add_mixed_fast`` bucket add — sound only for *distinct* point
+        bases (random multipliers or SRS powers; see regcurve.py).  Pass
+        ``complete=True`` for structured or duplicate-containing bases.
+        """
         px, py = self.prepare_points(points)
-        return self.msm_prepared((px, py), scalars_limbs, interpret)
+        return self.msm_prepared((px, py), scalars_limbs, interpret,
+                                 complete=complete)
 
     def msm_many(self, points: jax.Array, scalars_limbs: jax.Array,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False,
+                 complete: bool | None = None) -> jax.Array:
         """K MSMs over one point set: scalars (k, Ls, n) -> (3, L, k).
 
         One digit tensor of k*W window rows padded once, so every 8-window
@@ -524,13 +540,18 @@ class FusedMsm:
         commit shape — a PLONK/Marlin round commits several polynomials
         against the same SRS."""
         px, py = self.prepare_points(points)
-        return self.msm_prepared((px, py), scalars_limbs, interpret)
+        return self.msm_prepared((px, py), scalars_limbs, interpret,
+                                 complete=complete)
 
     def msm_prepared(self, planes: tuple[jax.Array, jax.Array],
                      scalars_limbs: jax.Array,
                      interpret: bool = False,
-                     use_kernel: bool | None = None) -> jax.Array:
-        """scalars (Ls, n) -> (3, L, 1); scalars (k, Ls, n) -> (3, L, k)."""
+                     use_kernel: bool | None = None,
+                     complete: bool | None = None) -> jax.Array:
+        """scalars (Ls, n) -> (3, L, 1); scalars (k, Ls, n) -> (3, L, k).
+
+        ``complete`` selects the doubling-safe bucket add; ``None`` reads
+        KZG_TPU_COMPLETE_ADD at call time (see ``_resolve_complete``)."""
         px, py = planes
         chunks = px.shape[1] // CHUNK
         k = scalars_limbs.shape[0] if scalars_limbs.ndim == 3 else 0
@@ -540,18 +561,19 @@ class FusedMsm:
         # as ONE jitted computation: the axon tunnel costs ~25-45ms per
         # python-level dispatch, and the unfused pipeline issues ~350 of
         # them (measured 13.5s of pure dispatch at any size).
-        return self._jitted(chunks, k, use_kernel, interpret)(
+        return self._jitted(chunks, k, use_kernel, interpret,
+                            self._resolve_complete(complete))(
             px, py, scalars_limbs)
 
     @functools.lru_cache(maxsize=None)
     def _jitted(self, chunks: int, k: int, use_kernel: bool,
-                interpret: bool):
+                interpret: bool, complete: bool):
         W = num_windows(self.total_bits, self.c)
         if use_kernel:
             call = _pass_call(self.curve.f.modulus, chunks, self.c,
-                              interpret, self.complete)
+                              interpret, complete)
         else:
-            call = _pass_xla(self.curve_type, self.c, self.complete)
+            call = _pass_xla(self.curve_type, self.c, complete)
 
         def run(px, py, scalars_limbs):
             digs = self.digits(scalars_limbs, chunks * CHUNK * LANES)

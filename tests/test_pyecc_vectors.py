@@ -198,6 +198,40 @@ def test_commit_chain_representative(Fp, G):
     assert digest.hexdigest() == COMMIT_DIGEST
 
 
+def test_affine_cross_validation_efd(Fp, G):
+    """VERDICT r4 #9: group-law-level validation that does NOT share a
+    formula source with the pinned digests.  The digests and the
+    ``_py_*`` oracle both derive from py_ecc's published projective
+    formulas; this test checks every pinned representative's *normalized*
+    affine value against the separately written EFD Jacobian path
+    (``ops/g1.py`` dbl-2009-l / madd-2007-bl over the limb backend, via
+    the small-MSM double-and-add).  A shared misreading of the py_ecc
+    formulas would have to coincide with an independent EFD formula
+    suite to slip through."""
+    from kzg_snark_tpu.ops.msm import msm_context
+
+    ctx = msm_context("bn254")
+
+    def oracle_affine(pt_ints):
+        x, y, z = (Fp(c) for c in pt_ints)
+        a = hc.normalize((x, y, z))
+        return (int(a[0]), int(a[1]))
+
+    for k in sorted(MULTIPLY_DIGESTS, key=int):
+        oracle = oracle_affine(_py_multiply(G_INT, k))
+        got = ctx.msm_ints([(1, 2)], [k])
+        aff = ctx.curve.to_affine_ints(got)[0]
+        assert aff == oracle, f"k={k}"
+
+    # the commit-chain pinned representative, same cross-check
+    tau = 1000003
+    coeffs = [3, 0, 7, 11]
+    total = sum(c * pow(tau, i, R) for i, c in enumerate(coeffs)) % R
+    oracle = oracle_affine(_py_multiply(G_INT, total))
+    got = ctx.msm_ints([(1, 2)], [total])
+    assert ctx.curve.to_affine_ints(got)[0] == oracle
+
+
 def test_transcript_state_with_point(Fp):
     """Full transcript chain: absorb a commit-produced projective point and
     a '>q'-packed int, derive a challenge — pinned to the independently

@@ -1,11 +1,13 @@
-"""SRS / proof persistence round-trips (SURVEY.md §5 checkpoint/resume)."""
+"""SRS / key / proof persistence round-trips (SURVEY.md §5
+checkpoint/resume; ipk/ivk serialization = VERDICT r4 #7)."""
 
 import os
 
 from kzg_snark_tpu.models.kzg import KZG
 from kzg_snark_tpu.ops.host.poly import Poly
 from kzg_snark_tpu.rng import Rng
-from kzg_snark_tpu.utils.serialization import (load_proof, load_srs,
+from kzg_snark_tpu.utils.serialization import (load_index_keys, load_proof,
+                                               load_srs, save_index_keys,
                                                save_proof, save_srs)
 
 
@@ -47,3 +49,50 @@ def test_proof_roundtrip(tmp_path, plonk_instance):
     proof2 = load_proof(path, kzg)
     assert proof2 == proof
     assert Verifier(curve_type="bn254", rng=Rng(902)).verify(ivk, x, proof2)
+
+
+def test_plonk_index_keys_roundtrip(tmp_path, plonk_instance):
+    """Index once, save, reload, prove with the reloaded ipk, verify with
+    the reloaded ivk (the reference re-indexes — and re-samples tau! — on
+    every preprocess call, /root/reference/marlin/indexer.py:86-121)."""
+    from kzg_snark_tpu.models.plonk.indexer import Indexer
+    from kzg_snark_tpu.models.plonk.prover import Prover
+    from kzg_snark_tpu.models.plonk.verifier import Verifier
+
+    inst = plonk_instance
+    n = len(inst.qM)
+    indexer = Indexer(curve_type="bn254", rng=Rng(910))
+    ipk, ivk = indexer.preprocess(inst.qM, inst.qL, inst.qR, inst.qO,
+                                  inst.qC, inst.perm, max_degree=n + 5,
+                                  tau=1234)
+    path = os.path.join(tmp_path, "plonk_keys.npz")
+    kzg = indexer.kzg
+    save_index_keys(path, kzg, ipk, ivk)
+    ipk2, ivk2 = load_index_keys(path, KZG("bn254"), device=False)
+
+    x, w = inst.w[:5], inst.w[5:]
+    proof = Prover(curve_type="bn254", rng=Rng(911)).prove(ipk2, x, w)
+    assert Verifier(curve_type="bn254", rng=Rng(912)).verify(ivk2, x, proof)
+    # cross-check: reloaded keys agree with the originals at the protocol
+    # level (a proof from the original ipk verifies under the reloaded ivk)
+    proof_orig = Prover(curve_type="bn254", rng=Rng(911)).prove(ipk, x, w)
+    assert Verifier(curve_type="bn254", rng=Rng(913)).verify(ivk2, x,
+                                                             proof_orig)
+
+
+def test_marlin_index_keys_roundtrip(tmp_path, r1cs_instance):
+    from kzg_snark_tpu.models.marlin.indexer import Indexer
+    from kzg_snark_tpu.models.marlin.prover import Prover
+    from kzg_snark_tpu.models.marlin.verifier import Verifier
+
+    inst = r1cs_instance
+    indexer = Indexer(curve_type="bn254", rng=Rng(920))
+    ipk, ivk = indexer.preprocess(inst.A, inst.B, inst.C, max_degree=200,
+                                  tau=4321)
+    path = os.path.join(tmp_path, "marlin_keys.npz")
+    save_index_keys(path, indexer.kzg, ipk, ivk)
+    ipk2, ivk2 = load_index_keys(path, KZG("bn254"), device=False)
+
+    x, w = inst.z[:5], inst.z[5:]
+    proof = Prover(curve_type="bn254", rng=Rng(921)).prove(ipk2, x, w)
+    assert Verifier(curve_type="bn254", rng=Rng(922)).verify(ivk2, x, proof)
