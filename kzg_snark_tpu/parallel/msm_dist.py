@@ -81,9 +81,17 @@ class DistMsmContext:
         ))
 
     def msm_small(self, points: jax.Array,
-                  scalars_limbs: jax.Array) -> jax.Array:
+                  scalars_limbs: jax.Array,
+                  chunk: int | None = None) -> jax.Array:
         """Compile-light distributed MSM (see _build_small).  N must be a
-        multiple of the device count (generator-pad first if not)."""
+        multiple of the device count (generator-pad first if not).
+
+        ``chunk`` bounds the *global* width of one compiled program: XLA:CPU
+        compile time of the bit-serial scan grows sharply with the vector
+        width (a width-512-per-device build blew the 590 s driver budget
+        with a "Very slow compile"), so large N runs as sequential calls
+        of one narrow program — same sharding and all_gather collective
+        per chunk — whose per-chunk partials are tree-summed on device."""
         from ..ops.fr import LIMB_BITS
         D = self.mesh.devices.size
         n = points.shape[-1]
@@ -95,9 +103,37 @@ class DistMsmContext:
                 [scalars_limbs,
                  jnp.zeros((scalars_limbs.shape[0], pad), jnp.uint32)],
                 axis=-1)
+            n += pad
+        if chunk is None:
+            chunk = max(D * 32, 256)
+        if n > chunk:
+            cpad = (-n) % chunk
+            if cpad:
+                points = jnp.concatenate(
+                    [points, self.base._generator_pad(cpad)], axis=-1)
+                scalars_limbs = jnp.concatenate(
+                    [scalars_limbs,
+                     jnp.zeros((scalars_limbs.shape[0], cpad), jnp.uint32)],
+                    axis=-1)
+                n += cpad
+            parts = [self.msm_small(points[..., lo:lo + chunk],
+                                    scalars_limbs[..., lo:lo + chunk])
+                     for lo in range(0, n, chunk)]
+            stacked = jnp.concatenate(parts, axis=-1)    # (3, L, n/chunk)
+            if "tree_sum" not in self._fn_cache:
+                self._fn_cache["tree_sum"] = jax.jit(
+                    self.base.curve.tree_sum)
+            return self._fn_cache["tree_sum"](stacked)
         Ls = scalars_limbs.shape[0]
+        # Trim all-zero top limbs (host check, one small transfer): for
+        # bounded scalars this halves the scan length — and with it both
+        # the XLA:CPU compile and execution time of the dryrun program.
+        import numpy as np
+        host_limbs = np.asarray(jax.device_get(scalars_limbs))
+        nz_rows = np.nonzero(host_limbs.any(axis=1))[0]
+        Ls_used = int(nz_rows.max()) + 1 if nz_rows.size else 1
         bit_rows = [(scalars_limbs[i] >> j) & 1
-                    for i in range(Ls) for j in range(LIMB_BITS)]
+                    for i in range(Ls_used) for j in range(LIMB_BITS)]
         bits = jnp.stack(bit_rows, axis=0).astype(jnp.uint32)
         key = ("small", points.shape, bits.shape)
         if key not in self._fn_cache:
@@ -106,6 +142,55 @@ class DistMsmContext:
             points, NamedSharding(self.mesh, P(None, None, AXIS)))
         bits = jax.device_put(bits, NamedSharding(self.mesh, P(None, AXIS)))
         return self._fn_cache[key](pts, bits)          # (3, L, 1)
+
+    # ------------------------------------------------------------------
+    def collective_stats(self, n: int, nbits: int = 256,
+                         chunk: int | None = None) -> dict:
+        """Scaling proxy for the distributed MSM (VERDICT r4 #8), the
+        analogue of ``DistNttContext.collective_stats``: collective-op
+        counts parsed from the compiled HLO of the per-chunk program one
+        distributed MSM actually executes, plus the analytic cross-mesh
+        traffic.  Each chunk contributes ONE Jacobian partial per device
+        (3 coords x L limbs x 4 B) to an all_gather, so cross-mesh bytes
+        per device per full MSM are ceil(n/chunk) * (D-1) * 3 * L * 4 —
+        independent of the per-device point count, the defining scaling
+        property of the lane-sharded design (communication fraction -> 0
+        as N grows)."""
+        import re
+
+        curve = self.base.curve
+        L = curve.f.num_limbs
+        D = self.mesh.devices.size
+        if chunk is None:
+            chunk = min(n, max(D * 32, 256))
+        # Reuse msm_small's cached fn for the chunk shapes so the lowering
+        # below hits the already-compiled executable instead of paying a
+        # second XLA:CPU compile in the driver dryrun.
+        key = ("small", (3, L, chunk), (nbits, chunk))
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._build_small(nbits)
+        fn = self._fn_cache[key]
+        pts = jax.ShapeDtypeStruct(
+            (3, L, chunk), jnp.uint32,
+            sharding=NamedSharding(self.mesh, P(None, None, AXIS)))
+        bits = jax.ShapeDtypeStruct(
+            (nbits, chunk), jnp.uint32,
+            sharding=NamedSharding(self.mesh, P(None, AXIS)))
+        txt = fn.lower(pts, bits).compile().as_text()
+        counts = {op: len(re.findall(rf" {op}\(", txt))
+                  for op in ("all-to-all", "all-gather", "all-reduce",
+                             "collective-permute")}
+        partial_bytes = 3 * L * 4
+        chunks = -(-n // chunk)
+        return {
+            "n": n, "devices": D, "chunk": chunk,
+            "hlo_collectives_per_chunk":
+                {k: v for k, v in counts.items() if v},
+            "bytes_local_points_per_device": 3 * L * 4 * (n // D),
+            "bytes_cross_mesh_per_device_per_msm":
+                chunks * (D - 1) * partial_bytes,
+            "single_device_cross_bytes": 0,
+        }
 
     # ------------------------------------------------------------------
     def msm(self, points: jax.Array, scalars_limbs: jax.Array) -> jax.Array:
