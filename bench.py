@@ -529,9 +529,14 @@ def section_ntt() -> dict:
     t_lo = min(chain(inv, "i", 4) for _ in range(2))
     t_hi = min(chain(inv, "i", 12) for _ in range(2))
     out["intt20_ms"] = round((t_hi - t_lo) / 8 * 1e3, 2)
-    # HBM-bound floor: 2 x 20 stages x 64B/elt read+write at ~800 GB/s
-    out["ntt20_hbm_floor_ms"] = round(
-        20 * 2 * 64 * n / 800e9 * 1e3, 2)
+    # HBM floor: the staged path fuses stages in pairs -> ~10 read+write
+    # passes of the 64 B/elt array at ~800 GB/s.  COMPUTE floor: 20
+    # stages x n/2 modmuls = 10.5M modmuls at the ~1.1e9/s derived VPU
+    # modmul ceiling (see roofline) — the binding constraint at L = 16:
+    # a 254-bit butterfly is arithmetic-heavy, not bandwidth-heavy.
+    out["ntt20_hbm_floor_ms"] = round(10 * 2 * 64 * n / 800e9 * 1e3, 2)
+    out["ntt20_compute_floor_ms"] = round(
+        20 * (n / 2) / 1.1e9 * 1e3, 2)
 
     # Parity: round-trip must be exact, and a spot evaluation must match
     # an independent host Horner evaluation of the same polynomial.

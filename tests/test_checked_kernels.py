@@ -117,6 +117,9 @@ def test_missed_final_subtraction_is_caught(interpret_kernels, monkeypatch):
         validate_canonical(be, out, "fused_mul")
 
 
+@pytest.mark.slow  # compiles the full device prover under the checked
+# backend (~30 min XLA:CPU, VERDICT r4 #2); checked kernel-level coverage
+# stays in the default tier above
 def test_checked_device_prover_rounds(monkeypatch, plonk_instance):
     """KZG_TPU_CHECKED=1 validates every jitted PLONK round output on the
     fixture circuit — the debug pass covering the paths the eager checked

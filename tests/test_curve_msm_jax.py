@@ -96,7 +96,13 @@ def test_tree_sum(curve):
     assert got == host_multiple(sum(ks))
 
 
-@pytest.mark.parametrize("n", [7, 64])
+@pytest.mark.parametrize("n", [
+    7,
+    # n=64 exercises the Pippenger lax.scan core — an ~8 min XLA:CPU
+    # compile, slow tier only (VERDICT r4 #2); n=7 keeps the small-path
+    # oracle check in the default tier
+    pytest.param(64, marks=pytest.mark.slow),
+])
 def test_msm_matches_host(n):
     ctx = msm_context("bn254")
     r = C.BN254_R

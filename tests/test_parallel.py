@@ -52,6 +52,9 @@ def test_dist_intt_roundtrip(mesh):
     assert be.to_ints(ctx.cyclic_to_natural(back)) == coeffs
 
 
+@pytest.mark.slow  # full sharded-Pippenger compile (~30 min XLA:CPU,
+# VERDICT r4 #2); default-tier dist-MSM coverage = the driver dryrun's
+# N=4096 production-sharding run + test_dist_ntt_* here
 @needs_devices
 def test_dist_msm_matches_host(mesh):
     Fp = base_field("bn254")

@@ -20,6 +20,13 @@ TAU = 0xFEEDFACE1234567
 
 pytest.importorskip("jax")
 
+# Slow tier (VERDICT r4 #2): the module fixture compiles ~25 min of
+# XLA:CPU device-pipeline graphs per worker.  The default tier keeps a
+# full device-PLONK e2e via test_plonk_device_index.py (synthetic n=16,
+# same DeviceProver path) and the TPU bench plonk section; byte-parity
+# vs the host prover runs here and at n=2^12 in test_plonk_device_scale.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def device_keys(plonk_instance):
