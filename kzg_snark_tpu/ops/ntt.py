@@ -249,6 +249,18 @@ class NttContext:
             out = self._transform_light(evals, self.tw_inv)
         else:
             out = self._transform(evals, self.tw_inv)
+        return self._scale_n_inv(out)
+
+    def _scale_n_inv(self, out: jax.Array) -> jax.Array:
+        """Final n^-1 scale.  At full width this is the ONLY XLA-level
+        be.mul in the transform (every butterfly mul runs inside Pallas
+        kernels), and the XLA schoolbook's (L, L, n) intermediates make it
+        ~175 ms at n = 2^20 — 8x the whole staged transform (measured r5).
+        Route it through the fused VMEM mul kernel when the shape tiles."""
+        if out.ndim == 2 and _pallas_enabled():
+            from .pallas_fr import fused_mul
+            n_inv_full = jnp.broadcast_to(self.n_inv, out.shape)
+            return fused_mul(self.backend, out, n_inv_full)
         return self.backend.mul(out, self.n_inv)
 
     def _mode(self, light: bool | None, values: jax.Array) -> str:
@@ -283,14 +295,22 @@ class NttContext:
         power combinations)."""
         return self._build_powers(c % self.backend.modulus, self.n)
 
+    def _ewise_mul(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        """Full-width elementwise modmul via the fused VMEM kernel when
+        the shape tiles (see _scale_n_inv for why the XLA path is slow)."""
+        if a.ndim == 2 and a.shape == b.shape and _pallas_enabled():
+            from .pallas_fr import fused_mul
+            return fused_mul(self.backend, a, b)
+        return self.backend.mul(a, b)
+
     def coset_ntt(self, coeffs: jax.Array, shift: int) -> jax.Array:
         """Evaluate on the coset shift*H: NTT of coeffs[i] * shift^i."""
-        return self.ntt(self.backend.mul(coeffs, self.powers(shift)))
+        return self.ntt(self._ewise_mul(coeffs, self.powers(shift)))
 
     def coset_intt(self, evals: jax.Array, shift: int) -> jax.Array:
         coeffs = self.intt(evals)
         inv_shift = pow(shift, -1, self.backend.modulus)
-        return self.backend.mul(coeffs, self.powers(inv_shift))
+        return self._ewise_mul(coeffs, self.powers(inv_shift))
 
 
 @functools.lru_cache(maxsize=None)
