@@ -113,20 +113,40 @@ def _build_jit(curve_type: str, size: int):
     return jax.jit(build)
 
 
-def random_point_basis(curve_type: str, size: int, seed: int
+def random_point_basis(curve_type: str, size: int, seed: int,
+                       cache_dir: str | None = ".build/benchbasis"
                        ) -> tuple[jax.Array, list[int]]:
     """(points (3, L, size) Jacobian Z=1 on device, multipliers k_i).
 
     P_i = k_i G, k_i odd 128-bit from ``random.Random(seed)`` (odd so no
     k_i is 0; top bit forced so all have full length).
+
+    The normalized points are disk-cached per (curve, size, seed) under
+    ``cache_dir`` (gitignored .build/): the device build costs ~60-150 s
+    per bench section on the tunnel and the same basis is shared by the
+    single-MSM and batch-8 sections; the multipliers are deterministic
+    from the seed either way, so the cache only skips device work.
     """
+    import os
+
+    import numpy as np
+
     from .host import curve as hc
     from .host.field import base_field
     from .. import constants as C
 
+    cache_path = None
+    if cache_dir is not None:
+        cache_path = os.path.join(
+            cache_dir, f"{curve_type}_{size}_{seed}.npz")
+
     rng = random.Random(seed)
     ks = [(rng.getrandbits(K_BITS) | (1 << (K_BITS - 1)) | 1)
           for _ in range(size)]
+
+    if cache_path is not None and os.path.exists(cache_path):
+        data = np.load(cache_path)
+        return jnp.asarray(data["points"]), ks
 
     Fp = base_field(curve_type)
     gen = C.BN254_G1 if curve_type == "bn254" else C.BLS12_381_G1
@@ -145,4 +165,8 @@ def random_point_basis(curve_type: str, size: int, seed: int
     bys = jnp.transpose(bpts[1], (1, 0))
     Ls = -(-K_BITS // 16)
     klimbs = jnp.asarray(ints_to_limb_array(ks, Ls))
-    return _build_jit(curve_type, size)(bxs, bys, klimbs), ks
+    points = _build_jit(curve_type, size)(bxs, bys, klimbs)
+    if cache_path is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(cache_path, points=np.asarray(jax.device_get(points)))
+    return points, ks
