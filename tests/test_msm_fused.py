@@ -32,6 +32,20 @@ from kzg_snark_tpu.ops.host.field import base_field
 from kzg_snark_tpu.ops.msm_kernel import fused_msm, signed_digits
 
 
+def test_random_point_basis_disk_cache(tmp_path):
+    """The per-(curve, size, seed) .npz basis cache returns the same
+    points as the device build and as a cache-disabled build."""
+    import numpy as np
+
+    d = str(tmp_path)
+    p1, k1 = random_point_basis("bn254", 32, seed=77, cache_dir=d)
+    p2, k2 = random_point_basis("bn254", 32, seed=77, cache_dir=d)  # hit
+    assert k1 == k2
+    assert (np.asarray(p1) == np.asarray(p2)).all()
+    p3, _ = random_point_basis("bn254", 32, seed=77, cache_dir=None)
+    assert (np.asarray(p1) == np.asarray(p3)).all()
+
+
 def test_signed_digits_reconstruct():
     be = fr_backend("bn254")
     r = be.modulus
