@@ -1,14 +1,18 @@
 #!/usr/bin/env python3
 """Benchmark harness — streams a cumulative headline JSON line per section.
 
-The driver records the LAST stdout line; a complete, valid headline JSON
-line is printed after EVERY section, so a timeout at any point preserves
-best-so-far results.  Sections run in value order: a fast hardware probe
-(chained-slope VPU u32 + MXU int8 rates with datasheet sanity gates, plus
-the batch-affine inversion microbenchmark), the headline single MSM at
-2^20, NTT 2^20, the batch-8 MSM shape (own section so no cold compile
-exceeds the 600 s section budget), 2^16 over a real powers-of-tau SRS,
-PLONK n=2^16, Marlin fixture end-to-end, BLS12-381 fused MSM.
+The driver records the LAST ~2000 bytes of stdout and parses the final
+line; a complete, valid COMPACT headline JSON line (<1.9 kB guaranteed)
+is printed after EVERY section, so a timeout at any point preserves
+best-so-far results, and the full extras (roofline, phase timings,
+probe internals) are written to BENCH_DETAIL.json at each boundary.
+
+Sections run in value order, cheapest-when-warm first: a fast hardware
+probe (chained-slope VPU u32 + MXU int8 rates with datasheet sanity
+gates, plus the batch-affine inversion microbenchmark), the headline
+single MSM at 2^20, NTT 2^20, BLS12-381 fused MSM, 2^16 over a real
+powers-of-tau SRS, the batch-8 MSM shape, then the two compile monsters:
+PLONK n=2^16 and Marlin fixture end-to-end.
 
 Headline metric: single-MSM G1 throughput (points/s/chip) at 2^20 against
 the 1e7 north star (batched-commit rates ride in extras).  The reference
@@ -40,14 +44,17 @@ import time
 
 TARGET_MSM = 1.0e7
 PLONK_LOG_N = 16
-# 1200 s default: sections are runaway-protected, but a warm section on
+# 2700 s default: sections are runaway-protected, but a warm section on
 # this tunnel still pays 3-6 min of 100-200 MB executable *restores*
 # (measured r5: a persistent-cache HIT for the fused-MSM pipeline costs
 # ~325 s to deserialize + upload; a 600 s budget killed sections that
 # were working correctly, which is what produced rounds 2-4's empty
-# artifacts).  The orchestrator emits a cumulative headline after every
-# section, so a driver-level kill preserves every completed section.
-SECTION_TIMEOUT_S = int(os.environ.get("KZG_BENCH_SECTION_TIMEOUT", "1200"))
+# artifacts), and the cold PLONK section (index + first prove) measures
+# ~2500 s — a 1200 s budget kills it even when correct.  Sections run
+# warm-cheap-first with the two compile monsters (plonk, marlin) last,
+# and the orchestrator emits a cumulative headline after every section,
+# so a driver-level kill preserves every completed section.
+SECTION_TIMEOUT_S = int(os.environ.get("KZG_BENCH_SECTION_TIMEOUT", "2700"))
 
 ROOFLINE = {
     # Static model inputs (instruction counts from the kernel design);
@@ -711,11 +718,11 @@ SECTIONS = [
     ("hw_probe", ["--section", "hw_probe"]),
     ("msm_1048576", ["--section", "msm_big", str(1 << 20)]),
     ("ntt", ["--section", "ntt"]),
-    ("plonk", ["--section", "plonk"]),
-    ("marlin", ["--section", "marlin"]),
     ("bls_65536", ["--section", "bls", str(1 << 16)]),
     ("msm_65536", ["--section", "msm_srs", str(1 << 16)]),
     ("msm_batch8", ["--section", "msm_batch8", str(1 << 20)]),
+    ("plonk", ["--section", "plonk"]),
+    ("marlin", ["--section", "marlin"]),
 ]
 
 
@@ -780,13 +787,51 @@ def _emit(attempted: dict) -> None:
     flat["roofline"] = roof
     flat["sections"] = {k: ("ok" if "error" not in v else v["error"][:160])
                         for k, v in attempted.items()}
-    print(json.dumps({
+
+    # The driver records only the LAST ~2000 bytes of stdout and parses
+    # the final line from that buffer — round 4's full-extras line grew
+    # past it and was recorded as unparseable (BENCH_r04.json parsed:
+    # null) even where sections succeeded.  So: full detail goes to
+    # BENCH_DETAIL.json on every section boundary, and stdout carries a
+    # COMPACT headline (essential scalars + oracle flags + section
+    # statuses, error strings capped) that stays well under the buffer.
+    full = {
         "metric": "g1_msm_points_per_sec_per_chip",
         "value": round(headline_rate, 1),
         "unit": "points/s",
         "vs_baseline": round(headline_rate / TARGET_MSM, 6),
         "extras": flat,
-    }), flush=True)
+    }
+    try:
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    _COMPACT_KEYS = (
+        "msm_rate", "msm_size", "msm_oracle_ok", "msm_first_s",
+        "msm_steady_s", "msm_batch8_rate", "ntt20_ms", "intt20_ms",
+        "ntt20_roundtrip_exact", "ntt20_hbm_floor_ms",
+        "ntt20_compute_floor_ms", "plonk_n", "plonk_prove_s",
+        "plonk_proofs_per_s", "plonk_verify_ok", "marlin_prove_s",
+        "marlin_e2e_ok", "bls_msm_rate", "bls_oracle_ok",
+        "msm16_srs_rate", "msm_additivity_ok", "headline_msm_size",
+    )
+    compact = {k: flat[k] for k in _COMPACT_KEYS if k in flat}
+    for rk in ("vpu_msm_ceiling_pts_per_s_derived",
+               "msm_fraction_of_ceiling"):
+        if rk in roof:
+            compact[rk] = roof[rk]
+    compact["detail"] = "BENCH_DETAIL.json"
+    compact["sections"] = {
+        k: ("ok" if "error" not in v else v["error"][:48])
+        for k, v in attempted.items()}
+    line = json.dumps({**full, "extras": compact})
+    if len(line) > 1900:     # hard guarantee: fit the driver's buffer
+        line = json.dumps({**full, "extras": {
+            "sections": compact["sections"], "detail": "BENCH_DETAIL.json"}})
+    print(line, flush=True)
 
 
 def main():
