@@ -802,10 +802,10 @@ def _emit(attempted: dict) -> None:
         "vs_baseline": round(headline_rate / TARGET_MSM, 6),
         "extras": flat,
     }
+    detail_path = os.environ.get("KZG_BENCH_DETAIL") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
-        with open(os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_DETAIL.json"), "w") as fh:
+        with open(detail_path, "w") as fh:
             json.dump(full, fh, indent=1)
     except OSError:
         pass
