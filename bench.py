@@ -715,20 +715,21 @@ def section_bls(size: int) -> dict:
 # e2e, BLS) run before the evidence extras (SRS additivity, batch-8
 # shape) — whatever fits the driver's overall budget is preserved.
 # Order = greedy value-per-second under an unknown driver wall budget:
-# the cheap-when-warm sections first (headline MSM, NTT, BLS), then the
-# PLONK 2^16 prove (BASELINE config #4 — the one number rounds 2-4 never
-# landed; ~2500 s cold), then SRS additivity + batch-8, with Marlin's
-# fixture e2e (~2100 s cold) last.  A driver kill at any point keeps
-# every completed section via the streamed cumulative headline.
+# the cheap-when-warm sections first (probe, headline MSM, NTT, SRS
+# additivity — their compile caches are re-warmed in-round), then the
+# never-yet-driver-recorded sections by cost: PLONK 2^16 prove (BASELINE
+# config #4, ~2500 s cold), BLS12-381 MSM (~750 s cold), Marlin fixture
+# e2e (~2100 s cold), batch-8 MSM last.  A driver kill at any point
+# keeps every completed section via the streamed cumulative headline.
 SECTIONS = [
     ("hw_probe", ["--section", "hw_probe"]),
     ("msm_1048576", ["--section", "msm_big", str(1 << 20)]),
     ("ntt", ["--section", "ntt"]),
-    ("bls_65536", ["--section", "bls", str(1 << 16)]),
-    ("plonk", ["--section", "plonk"]),
     ("msm_65536", ["--section", "msm_srs", str(1 << 16)]),
-    ("msm_batch8", ["--section", "msm_batch8", str(1 << 20)]),
+    ("plonk", ["--section", "plonk"]),
+    ("bls_65536", ["--section", "bls", str(1 << 16)]),
     ("marlin", ["--section", "marlin"]),
+    ("msm_batch8", ["--section", "msm_batch8", str(1 << 20)]),
 ]
 
 
